@@ -1,0 +1,215 @@
+"""Streaming IBU reader and bulk loader.
+
+Behavioral parity with the reference reader
+(``/root/reference/src/io/reader.rs:90-535``):
+
+* the header is read and validated at construction (``reader.rs:152-176``);
+* batched refills of a 48K-record buffer, looping the underlying ``read``
+  until full or EOF (``reader.rs:218-242``);
+* a refill whose byte count is not a multiple of 24 raises
+  :class:`TruncatedRecord` with ``pos = bytes_read + complete_bytes``
+  (``reader.rs:232-237``);
+* ``bytes_read`` starts at 32 (the header) and tracks the stream position
+  (``reader.rs:107-108,173``);
+* ``from_path`` transparently decompresses gzip/zstd (``reader.rs:345-357``),
+  ``from_stdin`` / ``from_optional_path`` mirror ``reader.rs:389-434``;
+* :func:`load_to_vec` bulk-loads a plain (uncompressed) file, raising
+  :class:`InvalidMapSize` when the record region is ragged
+  (``reader.rs:510-535``).
+
+TPU-first design note: the primary read path is :meth:`read_records` /
+:meth:`batches`, which yield numpy structured arrays — ready for zero-copy
+column extraction and ``jax.device_put``. The per-record iterator exists for
+API parity; it is not the hot path.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import BinaryIO, Iterator
+
+import numpy as np
+
+from ibu_tpu.constructs.header import HEADER_SIZE, Header
+from ibu_tpu.constructs.record import RECORD_DTYPE, RECORD_SIZE, Record
+from ibu_tpu.errors import IbuIoError, InvalidMapSize, TruncatedRecord
+from ibu_tpu.io.compression import open_decompressed, wrap_decompress
+
+#: 48K records per refill, same as the reference (``reader.rs:14``).
+DEFAULT_BUFFER_RECORDS: int = 48 * 1024
+DEFAULT_BUFFER_SIZE: int = DEFAULT_BUFFER_RECORDS * RECORD_SIZE
+
+
+class Reader:
+    """Buffered streaming reader of IBU record streams."""
+
+    def __init__(self, inner: BinaryIO, buffer_size: int = DEFAULT_BUFFER_SIZE):
+        self._inner = inner
+        header_bytes = self._read_exact(HEADER_SIZE)
+        self._header = Header.from_bytes(header_bytes)
+        self._header.validate()
+        self._buffer = bytearray(buffer_size)
+        self._pos = 0  # record position within the buffer
+        self._cap = 0  # valid records in the buffer
+        self._bytes_read = HEADER_SIZE
+        self._eof = False
+
+    # -- constructors -----------------------------------------------------
+
+    @classmethod
+    def from_path(cls, path: str) -> "Reader":
+        """Open ``path``, transparently decompressing gzip/zstd
+        (ref ``reader.rs:345-357``)."""
+        return cls(open_decompressed(path))
+
+    @classmethod
+    def from_stdin(cls) -> "Reader":
+        """Read from standard input, with decompression sniffing
+        (ref ``reader.rs:389-401``)."""
+        return cls(wrap_decompress(sys.stdin.buffer))
+
+    @classmethod
+    def from_optional_path(cls, path: str | None) -> "Reader":
+        """``path=None`` → stdin (ref ``reader.rs:429-434``)."""
+        if path is None:
+            return cls.from_stdin()
+        return cls.from_path(path)
+
+    # -- accessors --------------------------------------------------------
+
+    def header(self) -> Header:
+        """A copy of the validated file header (ref ``reader.rs:274-276``)."""
+        return Header.from_bytes(self._header.as_bytes())
+
+    @property
+    def bytes_read(self) -> int:
+        """Total bytes consumed from the stream, including the header."""
+        return self._bytes_read
+
+    # -- refill machinery -------------------------------------------------
+
+    def _read_exact(self, n: int) -> bytes:
+        chunks = []
+        got = 0
+        try:
+            while got < n:
+                chunk = self._inner.read(n - got)
+                if not chunk:
+                    raise IbuIoError(
+                        f"unexpected end of stream: wanted {n} bytes, got {got}"
+                    )
+                chunks.append(chunk)
+                got += len(chunk)
+        except OSError as e:
+            raise IbuIoError(e) from e
+        return b"".join(chunks)
+
+    def read_batch(self) -> bool:
+        """Refill the internal buffer (ref ``reader.rs:218-242``).
+
+        Returns ``True`` if any data was read, ``False`` at EOF. Raises
+        :class:`TruncatedRecord` if the stream ended mid-record.
+        """
+        read = 0
+        view = memoryview(self._buffer)
+        try:
+            while read < len(self._buffer):
+                chunk = self._inner.read(len(self._buffer) - read)
+                if not chunk:
+                    break
+                view[read : read + len(chunk)] = chunk
+                read += len(chunk)
+        except OSError as e:
+            raise IbuIoError(e) from e
+        if read % RECORD_SIZE != 0:
+            non_rem = read - read % RECORD_SIZE
+            raise TruncatedRecord(pos=self._bytes_read + non_rem)
+        self._pos = 0
+        self._cap = read // RECORD_SIZE
+        self._bytes_read += read
+        return read > 0
+
+    # -- batch-first API (the hot path) -----------------------------------
+
+    def read_records(self) -> np.ndarray | None:
+        """Return the next refill as a structured record array, or ``None`` at
+        EOF. Consumes any records not yet taken by the iterator."""
+        if self._pos >= self._cap:
+            if self._eof or not self.read_batch():
+                self._eof = True
+                return None
+        start = self._pos * RECORD_SIZE
+        end = self._cap * RECORD_SIZE
+        out = np.frombuffer(
+            memoryview(self._buffer)[start:end], dtype=RECORD_DTYPE
+        ).copy()
+        self._pos = self._cap
+        return out
+
+    def batches(self) -> Iterator[np.ndarray]:
+        """Iterate over the stream as structured record arrays."""
+        while True:
+            batch = self.read_records()
+            if batch is None:
+                return
+            yield batch
+
+    # -- per-record iterator (parity path, ref reader.rs:279-306) ---------
+
+    def __iter__(self) -> Iterator[Record]:
+        return self
+
+    def __next__(self) -> Record:
+        if self._eof:
+            raise StopIteration
+        if self._pos >= self._cap:
+            if not self.read_batch():
+                self._eof = True
+                raise StopIteration
+        lpos = self._pos * RECORD_SIZE
+        record = Record.from_bytes(bytes(self._buffer[lpos : lpos + RECORD_SIZE]))
+        self._pos += 1
+        return record
+
+    def close(self) -> None:
+        self._inner.close()
+
+    def __enter__(self) -> "Reader":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.close()
+
+
+def load_to_vec(path: str) -> tuple[Header, np.ndarray]:
+    """Bulk-load an uncompressed IBU file (ref ``reader.rs:510-535``).
+
+    Validates the header, checks ``(filesize - 32) % 24 == 0`` (raising
+    :class:`InvalidMapSize` otherwise, ``reader.rs:520-524``), and reads the
+    record region in one shot into a structured array. Like the reference,
+    this path does NOT sniff compression — it is the raw-file fast path.
+    """
+    try:
+        size = os.path.getsize(path)
+        with open(path, "rb") as f:
+            header_bytes = f.read(HEADER_SIZE)
+            if len(header_bytes) < HEADER_SIZE:
+                raise IbuIoError(
+                    f"unexpected end of file: wanted {HEADER_SIZE} bytes, "
+                    f"got {len(header_bytes)}"
+                )
+            header = Header.from_bytes(header_bytes)
+            header.validate()
+            data_size = size - HEADER_SIZE
+            if data_size % RECORD_SIZE != 0:
+                raise InvalidMapSize()
+            n = data_size // RECORD_SIZE
+            records = np.fromfile(f, dtype=RECORD_DTYPE, count=n)
+            if len(records) != n:
+                raise IbuIoError(
+                    f"short read: wanted {n} records, got {len(records)}"
+                )
+            return header, records
+    except OSError as e:
+        raise IbuIoError(e) from e

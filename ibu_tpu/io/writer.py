@@ -1,0 +1,233 @@
+"""Buffered IBU writer.
+
+Behavioral parity with the reference writer
+(``/root/reference/src/io/writer.rs:82-523``):
+
+* the header is written immediately at construction (``writer.rs:129-143``)
+  and — deliberately matching the reference — is **not** validated on write;
+  only readers validate;
+* a 48K-record (1,179,648-byte) internal buffer (``writer.rs:10``);
+* batches larger than the buffer bypass it and go straight to the sink
+  (``writer.rs:321-351``);
+* ``new_headless`` omits the header for shard writers (``writer.rs:169-179``);
+* ``ingest`` merges another (in-memory) writer's bytes and clears it — the
+  shard-merge primitive (``writer.rs:477-482``);
+* close/``__exit__``/GC auto-``finish`` (``writer.rs:519-523``).
+
+TPU-first design note: the primary write path is :meth:`write_batch` on a
+numpy structured array — one ``memoryview`` straight to the OS, no per-record
+Python loop. ``write_record`` exists for parity and small jobs.
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from typing import BinaryIO, Iterable, Iterator
+
+import numpy as np
+
+from ibu_tpu.constructs.header import Header
+from ibu_tpu.constructs.record import RECORD_DTYPE, RECORD_SIZE, Record
+from ibu_tpu.errors import IbuIoError
+
+#: 48K records, same as the reference (``writer.rs:10``).
+DEFAULT_BUFFER_RECORDS: int = 48 * 1024
+DEFAULT_BUFFER_SIZE: int = DEFAULT_BUFFER_RECORDS * RECORD_SIZE
+
+
+class Writer:
+    """Buffered writer of IBU record streams."""
+
+    def __init__(
+        self,
+        inner: BinaryIO,
+        header: Header | None,
+        buffer_size: int = DEFAULT_BUFFER_SIZE,
+    ):
+        self._inner = inner
+        self._buffer = bytearray(buffer_size)
+        self._pos = 0
+        self._records_written = 0
+        self._finished = False
+        if header is not None:
+            self._write_all(header.as_bytes())
+
+    # -- constructors -----------------------------------------------------
+
+    @classmethod
+    def new(cls, inner: BinaryIO, header: Header) -> "Writer":
+        """Writer that emits ``header`` immediately (ref ``writer.rs:129-143``)."""
+        return cls(inner, header)
+
+    @classmethod
+    def new_headless(cls, inner: BinaryIO) -> "Writer":
+        """Writer that skips the header — for shard writers that will later be
+        merged via :meth:`ingest` (ref ``writer.rs:169-179``)."""
+        return cls(inner, None)
+
+    @classmethod
+    def from_path(cls, path: str, header: Header) -> "Writer":
+        """Open ``path`` and write ``header``. Always an uncompressed plain
+        file, matching the reference (``writer.rs:556-559``)."""
+        try:
+            f = open(path, "wb")
+        except OSError as e:
+            raise IbuIoError(e) from e
+        return cls(f, header)
+
+    @classmethod
+    def from_stdout(cls, header: Header) -> "Writer":
+        """Write to standard output (ref ``writer.rs:587-589``)."""
+        return cls(sys.stdout.buffer, header)
+
+    @classmethod
+    def from_optional_path(cls, path: str | None, header: Header) -> "Writer":
+        """``path=None`` → stdout (ref ``writer.rs:618-626``)."""
+        if path is None:
+            return cls.from_stdout(header)
+        return cls.from_path(path, header)
+
+    @classmethod
+    def in_memory(cls, header: Header | None = None) -> "Writer":
+        """Writer over an in-memory buffer (the reference's ``Writer<Vec<u8>>``)."""
+        return cls(io.BytesIO(), header)
+
+    # -- accounting -------------------------------------------------------
+
+    @property
+    def records_written(self) -> int:
+        """Total records accepted so far (ref ``writer.rs:207-209``)."""
+        return self._records_written
+
+    @property
+    def inner(self) -> BinaryIO:
+        return self._inner
+
+    def into_inner(self) -> BinaryIO:
+        """Detach and return the sink without flushing — caller should have
+        called :meth:`finish` first (ref ``writer.rs:507-511``)."""
+        self._finished = True
+        return self._inner
+
+    # -- the write paths --------------------------------------------------
+
+    def _write_all(self, data: bytes | memoryview) -> None:
+        try:
+            mv = memoryview(data)
+            while len(mv) > 0:
+                n = self._inner.write(mv)
+                if n is None:  # non-blocking sink; BinaryIO contract violation
+                    raise IbuIoError("sink returned None from write")
+                mv = mv[n:]
+        except OSError as e:
+            raise IbuIoError(e) from e
+
+    def _flush_buffer(self) -> None:
+        if self._pos > 0:
+            self._write_all(memoryview(self._buffer)[: self._pos])
+            self._pos = 0
+
+    def write_record(self, record: Record) -> None:
+        """Append one record (ref ``writer.rs:260-273``)."""
+        if self._pos + RECORD_SIZE > len(self._buffer):
+            self._flush_buffer()
+        self._buffer[self._pos : self._pos + RECORD_SIZE] = record.as_bytes()
+        self._pos += RECORD_SIZE
+        self._records_written += 1
+
+    def write_batch(self, records) -> None:
+        """Append a batch — the TPU-first hot path.
+
+        Accepts a numpy structured array of ``RECORD_DTYPE`` (preferred,
+        zero-copy) or any iterable of :class:`Record`. Batches larger than the
+        internal buffer bypass it entirely (ref ``writer.rs:321-351``).
+        """
+        if isinstance(records, np.ndarray):
+            if records.dtype != RECORD_DTYPE:
+                raise ValueError(
+                    f"write_batch expects dtype {RECORD_DTYPE}, got {records.dtype}"
+                )
+            arr = np.ascontiguousarray(records)
+            self._write_slice(memoryview(arr).cast("B"), len(arr))
+        else:
+            records = list(records)
+            data = b"".join(r.as_bytes() for r in records)
+            self._write_slice(memoryview(data), len(records))
+
+    def _write_slice(self, data: memoryview, num_records: int) -> None:
+        if len(data) > len(self._buffer):
+            # Direct path: skip the intermediate copy (ref writer.rs:325-331).
+            self._flush_buffer()
+            self._write_all(data)
+            self._records_written += num_records
+            return
+        remaining = data
+        while len(remaining) > 0:
+            available = len(self._buffer) - self._pos
+            n = min(len(remaining), available)
+            self._buffer[self._pos : self._pos + n] = remaining[:n]
+            self._pos += n
+            remaining = remaining[n:]
+            if self._pos >= len(self._buffer):
+                self._flush_buffer()
+        self._records_written += num_records
+
+    def write_iter(self, records: Iterable[Record] | Iterator[Record]) -> None:
+        """Drain an iterator of records (ref ``writer.rs:388-396``)."""
+        for record in records:
+            self.write_record(record)
+
+    def ingest(self, other: "Writer") -> None:
+        """Merge another in-memory writer's bytes into this one, then clear it
+        (ref ``writer.rs:477-482``). ``other`` must wrap a ``BytesIO``."""
+        if not isinstance(other._inner, io.BytesIO):
+            raise TypeError("ingest requires the source writer to be in-memory")
+        other._flush_buffer()
+        data = other._inner.getvalue()
+        self._write_slice(memoryview(data), len(data) // RECORD_SIZE)
+        other._inner.seek(0)
+        other._inner.truncate(0)
+
+    # -- teardown ---------------------------------------------------------
+
+    def finish(self) -> None:
+        """Flush the internal buffer and the sink (ref ``writer.rs:429-433``)."""
+        self._flush_buffer()
+        try:
+            self._inner.flush()
+        except OSError as e:
+            raise IbuIoError(e) from e
+        self._finished = True
+
+    def close(self) -> None:
+        """Finish, then close the sink.
+
+        In-memory (``BytesIO``) and stdout sinks are left open so their
+        contents remain accessible — mirroring the reference, where ``Drop``
+        only flushes (``writer.rs:519-523``).
+        """
+        self.finish()
+        if self._inner is not sys.stdout.buffer and not isinstance(
+            self._inner, io.BytesIO
+        ):
+            self._inner.close()
+
+    def __enter__(self) -> "Writer":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.close()
+        else:  # best-effort, mirror Drop's `finish().ok()` (writer.rs:519-523)
+            try:
+                self.close()
+            except Exception:
+                pass
+
+    def __del__(self):  # Drop safety net (ref writer.rs:519-523)
+        if not self._finished:
+            try:
+                self.finish()
+            except Exception:
+                pass

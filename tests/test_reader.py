@@ -1,0 +1,176 @@
+"""Reader + load_to_vec tests — parity with the reference suite
+(``reader.rs:537-767``)."""
+
+import gzip
+import io
+
+import numpy as np
+import pytest
+
+from ibu_tpu import (
+    HEADER_SIZE,
+    RECORD_SIZE,
+    Header,
+    IbuIoError,
+    InvalidMagicNumber,
+    InvalidMapSize,
+    Reader,
+    Record,
+    TruncatedRecord,
+    Writer,
+    load_to_vec,
+)
+from ibu_tpu.constructs.record import make_records
+
+
+def build_stream(n, header=None):
+    """In-memory roundtrip fixture (reader.rs:543-550 pattern)."""
+    w = Writer.in_memory(header or Header.new(16, 12))
+    i = np.arange(n, dtype=np.uint64)
+    w.write_batch(make_records(i, i * np.uint64(2), i * np.uint64(3)))
+    w.finish()
+    return io.BytesIO(w.inner.getvalue())
+
+
+class TestConstruction:
+    def test_header_parse(self):
+        h = Header.new(20, 10)
+        h.set_sorted()
+        r = Reader(build_stream(0, header=h))
+        got = r.header()
+        assert got.bc_len == 20
+        assert got.umi_len == 10
+        assert got.sorted()
+
+    def test_invalid_magic(self):
+        with pytest.raises(InvalidMagicNumber):
+            Reader(io.BytesIO(b"\x00" * 32))
+
+    def test_short_header_is_io_error(self):
+        with pytest.raises(IbuIoError):
+            Reader(io.BytesIO(b"IBU!"))
+
+    def test_bytes_read_starts_at_header(self):
+        r = Reader(build_stream(0))
+        assert r.bytes_read == HEADER_SIZE
+
+
+class TestIteration:
+    def test_roundtrip_small(self):
+        r = Reader(build_stream(10))
+        got = list(r)
+        assert len(got) == 10
+        assert got[3] == Record(3, 6, 9)
+
+    def test_empty_file(self):
+        assert list(Reader(build_stream(0))) == []
+
+    def test_large_batch_crosses_refills(self):
+        """100K records > one 48K-record buffer (reader.rs:606-616)."""
+        r = Reader(build_stream(100_000))
+        count = 0
+        for rec in r:
+            assert rec.barcode == count
+            count += 1
+        assert count == 100_000
+
+    def test_bytes_read_tracking(self):
+        r = Reader(build_stream(10))
+        list(r)
+        assert r.bytes_read == HEADER_SIZE + 10 * RECORD_SIZE
+
+
+class TestBatchAPI:
+    def test_batches_yield_all_records(self):
+        r = Reader(build_stream(100_000))
+        total = 0
+        for batch in r.batches():
+            assert batch.dtype.itemsize == RECORD_SIZE
+            total += len(batch)
+        assert total == 100_000
+
+    def test_batch_contents(self):
+        r = Reader(build_stream(1000))
+        batch = r.read_records()
+        assert batch is not None
+        assert batch["barcode"].tolist() == list(range(1000))
+        assert r.read_records() is None
+
+    def test_batches_after_partial_iteration(self):
+        r = Reader(build_stream(5))
+        first = next(iter(r))
+        assert first == Record(0, 0, 0)
+        rest = r.read_records()
+        assert rest["barcode"].tolist() == [1, 2, 3, 4]
+
+
+class TestTruncation:
+    def test_truncated_mid_record(self):
+        data = build_stream(2).getvalue()
+        cut = data[:-5]  # chop into the last record
+        with pytest.raises(TruncatedRecord) as ei:
+            list(Reader(io.BytesIO(cut)))
+        # pos = header + complete records (reader.rs:232-237)
+        assert ei.value.pos == HEADER_SIZE + RECORD_SIZE
+
+    def test_truncated_after_header(self):
+        data = build_stream(1).getvalue()[: HEADER_SIZE + 7]
+        with pytest.raises(TruncatedRecord) as ei:
+            list(Reader(io.BytesIO(data)))
+        assert ei.value.pos == HEADER_SIZE
+
+    def test_manual_read_batch_eof(self):
+        r = Reader(build_stream(3))
+        assert r.read_batch() is True
+        assert r.read_batch() is False
+
+
+class TestCompression:
+    def test_gzip_stream(self, tmp_path):
+        raw = build_stream(100).getvalue()
+        p = tmp_path / "x.ibu.gz"
+        p.write_bytes(gzip.compress(raw))
+        r = Reader.from_path(str(p))
+        assert len(list(r)) == 100
+
+    def test_plain_file(self, tmp_path):
+        raw = build_stream(100).getvalue()
+        p = tmp_path / "x.ibu"
+        p.write_bytes(raw)
+        assert len(list(Reader.from_path(str(p)))) == 100
+
+    def test_zstd_stream(self, tmp_path):
+        zstd = pytest.importorskip("zstandard")
+        raw = build_stream(50).getvalue()
+        p = tmp_path / "x.ibu.zst"
+        p.write_bytes(zstd.ZstdCompressor().compress(raw))
+        assert len(list(Reader.from_path(str(p)))) == 50
+
+
+class TestLoadToVec:
+    def test_basic(self, tmp_path):
+        raw = build_stream(1000).getvalue()
+        p = tmp_path / "x.ibu"
+        p.write_bytes(raw)
+        header, records = load_to_vec(str(p))
+        assert header.bc_len == 16
+        assert len(records) == 1000
+        assert records["umi"][500] == 1000
+
+    def test_empty(self, tmp_path):
+        p = tmp_path / "x.ibu"
+        p.write_bytes(build_stream(0).getvalue())
+        _, records = load_to_vec(str(p))
+        assert len(records) == 0
+
+    def test_invalid_size(self, tmp_path):
+        """Bulk load reports InvalidMapSize, not TruncatedRecord
+        (reader.rs:520-524 vs reader.rs:232-237)."""
+        p = tmp_path / "x.ibu"
+        p.write_bytes(build_stream(2).getvalue()[:-5])
+        with pytest.raises(InvalidMapSize):
+            load_to_vec(str(p))
+
+    def test_missing_file(self, tmp_path):
+        with pytest.raises(IbuIoError):
+            load_to_vec(str(tmp_path / "nope.ibu"))

@@ -1,0 +1,194 @@
+"""Writer tests — parity with the reference suite (``writer.rs:629-877``)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from ibu_tpu import HEADER_SIZE, RECORD_SIZE, Header, Reader, Record, Writer
+from ibu_tpu.constructs.record import make_records
+from ibu_tpu.io.writer import DEFAULT_BUFFER_SIZE
+
+
+def recs(n, base=0):
+    i = np.arange(base, base + n, dtype=np.uint64)
+    return make_records(i, i * np.uint64(2), i * np.uint64(3))
+
+
+class TestHeaderEmission:
+    def test_header_written_immediately(self):
+        w = Writer.in_memory(Header.new(16, 12))
+        w.finish()
+        data = w.inner.getvalue()
+        assert len(data) == HEADER_SIZE
+        assert data[:4] == b"IBU!"
+
+    def test_headless_writes_no_header(self):
+        w = Writer.in_memory()
+        w.write_record(Record(1, 2, 3))
+        w.finish()
+        assert len(w.inner.getvalue()) == RECORD_SIZE
+
+    def test_invalid_header_still_writes(self):
+        """Parity quirk: Writer does NOT validate (writer.rs:129-143 never
+        calls validate; doc/code discrepancy noted in SURVEY.md §4)."""
+        bad = Header(magic=0, version=0, bc_len=0, umi_len=0)
+        w = Writer.in_memory(bad)
+        w.finish()
+        assert len(w.inner.getvalue()) == HEADER_SIZE
+
+
+class TestWritePaths:
+    def test_single_record_bytes(self):
+        w = Writer.in_memory(Header.new(16, 12))
+        w.write_record(Record(1, 2, 3))
+        w.finish()
+        data = w.inner.getvalue()
+        assert len(data) == HEADER_SIZE + RECORD_SIZE
+        assert data[HEADER_SIZE:] == Record(1, 2, 3).as_bytes()
+
+    def test_write_batch_numpy(self):
+        w = Writer.in_memory(Header.new(16, 12))
+        w.write_batch(recs(100))
+        w.finish()
+        assert len(w.inner.getvalue()) == HEADER_SIZE + 100 * RECORD_SIZE
+        assert w.records_written == 100
+
+    def test_write_batch_record_list(self):
+        w = Writer.in_memory(Header.new(16, 12))
+        w.write_batch([Record(1, 2, 3), Record(4, 5, 6)])
+        w.finish()
+        assert w.records_written == 2
+        assert len(w.inner.getvalue()) == HEADER_SIZE + 2 * RECORD_SIZE
+
+    def test_write_iter(self):
+        w = Writer.in_memory(Header.new(16, 12))
+        w.write_iter(Record(i, i * 2, i * 3) for i in range(100))
+        w.finish()
+        assert w.records_written == 100
+
+    def test_large_batch_direct_path(self):
+        """Batches over the internal buffer bypass it (writer.rs:325-331)."""
+        n = DEFAULT_BUFFER_SIZE // RECORD_SIZE + 1000
+        w = Writer.in_memory(Header.new(16, 12))
+        w.write_batch(recs(n))
+        # direct path writes through without waiting for finish()
+        assert len(w.inner.getvalue()) == HEADER_SIZE + n * RECORD_SIZE
+        w.finish()
+        assert w.records_written == n
+
+    def test_buffer_flush_threshold(self):
+        """Data below the buffer size stays buffered until finish
+        (writer.rs:766-787)."""
+        w = Writer.in_memory(Header.new(16, 12))
+        w.write_batch(recs(10))
+        assert len(w.inner.getvalue()) == HEADER_SIZE  # only header so far
+        w.finish()
+        assert len(w.inner.getvalue()) == HEADER_SIZE + 10 * RECORD_SIZE
+
+    def test_empty_batch(self):
+        w = Writer.in_memory(Header.new(16, 12))
+        w.write_batch(recs(0))
+        w.finish()
+        assert w.records_written == 0
+        assert len(w.inner.getvalue()) == HEADER_SIZE
+
+    def test_mixed_methods_roundtrip(self):
+        w = Writer.in_memory(Header.new(16, 12))
+        w.write_record(Record(0, 0, 0))
+        w.write_batch(recs(5, base=1))
+        w.write_iter(iter([Record(6, 12, 18)]))
+        w.finish()
+        r = Reader(io.BytesIO(w.inner.getvalue()))
+        got = list(r)
+        assert len(got) == 7
+        assert got[6] == Record(6, 12, 18)
+
+    def test_wrong_dtype_rejected(self):
+        w = Writer.in_memory(Header.new(16, 12))
+        with pytest.raises(ValueError):
+            w.write_batch(np.zeros(4, dtype=np.uint64))
+
+
+class TestIngest:
+    def test_ingest_merges_and_clears(self):
+        """Shard-merge primitive (writer.rs:721-741)."""
+        main = Writer.in_memory(Header.new(16, 12))
+        aux = Writer.in_memory()  # headless
+        aux.write_record(Record(1, 2, 3))
+        aux.write_record(Record(4, 5, 6))
+        main.ingest(aux)
+        assert main.records_written == 2
+        assert aux.inner.getvalue() == b""  # source cleared
+        main.finish()
+        assert len(main.inner.getvalue()) == HEADER_SIZE + 2 * RECORD_SIZE
+
+    def test_ingest_shard_and_merge_ordering(self):
+        main = Writer.in_memory(Header.new(16, 12))
+        shards = []
+        for s in range(3):
+            aux = Writer.in_memory()
+            aux.write_batch(recs(10, base=s * 10))
+            shards.append(aux)
+        for aux in shards:
+            main.ingest(aux)
+        main.finish()
+        r = Reader(io.BytesIO(main.inner.getvalue()))
+        got = [rec.barcode for rec in r]
+        assert got == list(range(30))
+
+
+class TestCounters:
+    def test_records_written_accounting(self):
+        w = Writer.in_memory(Header.new(16, 12))
+        assert w.records_written == 0
+        w.write_record(Record(1, 2, 3))
+        assert w.records_written == 1
+        w.write_batch(recs(2))
+        assert w.records_written == 3
+
+
+class TestTeardown:
+    def test_finish_idempotent_through_context(self):
+        buf = io.BytesIO()
+        with Writer(buf, Header.new(16, 12)) as w:
+            w.write_record(Record(1, 2, 3))
+        assert len(buf.getvalue()) == HEADER_SIZE + RECORD_SIZE
+
+    def test_del_flushes(self):
+        """Drop safety net (writer.rs:519-523)."""
+        buf = io.BytesIO()
+        w = Writer(buf, Header.new(16, 12))
+        w.write_record(Record(1, 2, 3))
+        del w
+        assert len(buf.getvalue()) == HEADER_SIZE + RECORD_SIZE
+
+    def test_into_inner(self):
+        w = Writer.in_memory(Header.new(16, 12))
+        w.write_record(Record(1, 2, 3))
+        w.finish()
+        inner = w.into_inner()
+        assert isinstance(inner, io.BytesIO)
+
+
+class TestGoldenBytes:
+    """Byte-exactness anchors: whole-file bytes built by hand."""
+
+    def test_full_file_bytes(self):
+        h = Header.new(16, 12)
+        h.set_sorted()
+        w = Writer.in_memory(h)
+        w.write_batch([Record(0x0102, 0x0304, 0x0506)])
+        w.finish()
+        want = (
+            b"IBU!"
+            + (2).to_bytes(4, "little")
+            + (16).to_bytes(4, "little")
+            + (12).to_bytes(4, "little")
+            + (1).to_bytes(8, "little")
+            + b"\x00" * 8
+            + (0x0102).to_bytes(8, "little")
+            + (0x0304).to_bytes(8, "little")
+            + (0x0506).to_bytes(8, "little")
+        )
+        assert w.inner.getvalue() == want

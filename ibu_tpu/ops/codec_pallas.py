@@ -1,0 +1,268 @@
+"""Pallas TPU kernels for the 2-bit nucleotide codec.
+
+The reference's per-record hot loop (``/root/reference/src/io/mmap.rs:315-317``)
+becomes HBM-bandwidth-bound VMEM tile kernels here. Layout: **base-planes**
+``(L, N)`` with the record axis ``N`` on the 128-lane dimension, so every
+lane packs/unpacks one record and the per-base shift amounts are constants
+along the sublane axis. Packed words are ``(2, N)`` / ``(6, N)`` uint32
+(lo/hi pairs — the TPU is 32-bit native; see :mod:`ibu_tpu.ops.u64`).
+
+Kernels are total (no data-dependent control flow) and the grid is 1-D over
+record tiles; Mosaic pipelines the HBM→VMEM streams across grid steps
+automatically. The fused record kernels read/write each byte exactly once —
+barcode + UMI planes and the index pair in, the full ``(6, N)`` column matrix
+out — so the roofline is pure HBM bandwidth.
+
+Numerical contract is identical to :mod:`ibu_tpu.ops.codec`'s ``lax_*``
+oracles (tested tile-exactly); the codec trick is documented there.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+#: Records per grid step. 8 lane-groups wide; large enough to amortize
+#: pipeline overheads, small enough to fit several double-buffered stages
+#: in ~16 MB of VMEM even at L=32.
+DEFAULT_TILE_N = 4096
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _pad_lanes(x: jax.Array, tile: int) -> tuple[jax.Array, int]:
+    """Pad the trailing (record) axis up to a multiple of ``tile``."""
+    n = x.shape[-1]
+    padded = _cdiv(n, tile) * tile
+    if padded != n:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, padded - n)]
+        x = jnp.pad(x, pad)
+    return x, n
+
+
+def _encode_tile(codes: jax.Array, lo_rows: int, hi_rows: int) -> jax.Array:
+    """Pack a ``(L, TN)`` uint32 code tile into a ``(2, TN)`` [lo, hi] tile.
+
+    Disjoint 2-bit fields make sum ≡ bitwise-or, and the shift vector is a
+    compile-time iota along the sublane axis.
+    """
+    sh_lo = 2 * jax.lax.broadcasted_iota(jnp.uint32, (lo_rows, 1), 0)
+    lo = jnp.sum(codes[:lo_rows] << sh_lo, axis=0, dtype=jnp.uint32)
+    if hi_rows > 0:
+        sh_hi = 2 * jax.lax.broadcasted_iota(jnp.uint32, (hi_rows, 1), 0)
+        hi = jnp.sum(codes[lo_rows : lo_rows + hi_rows] << sh_hi, axis=0,
+                     dtype=jnp.uint32)
+    else:
+        hi = jnp.zeros_like(lo)
+    return jnp.stack([lo, hi])
+
+
+def _ascii_to_codes(planes: jax.Array) -> jax.Array:
+    c = planes.astype(jnp.uint32)
+    t = (c >> 1) & 3
+    return t ^ (t >> 1)
+
+
+def _decode_tile(pair: jax.Array, length: int) -> jax.Array:
+    """Unpack a ``(2, TN)`` [lo, hi] tile into ``(L, TN)`` ASCII uint8."""
+    lo_rows = min(length, 16)
+    sh_lo = 2 * jax.lax.broadcasted_iota(jnp.uint32, (lo_rows, 1), 0)
+    codes = (pair[0:1] >> sh_lo) & 3
+    if length > 16:
+        sh_hi = 2 * jax.lax.broadcasted_iota(jnp.uint32, (length - 16, 1), 0)
+        codes = jnp.concatenate([codes, (pair[1:2] >> sh_hi) & 3], axis=0)
+    return (65 + 2 * codes + 2 * (codes >> 1) + 11 * (codes & (codes >> 1))).astype(
+        jnp.uint8
+    )
+
+
+# ---------------------------------------------------------------------------
+# single-field kernels
+# ---------------------------------------------------------------------------
+
+
+def _encode_kernel(planes_ref, out_ref, *, lo_rows: int, hi_rows: int):
+    out_ref[:] = _encode_tile(_ascii_to_codes(planes_ref[:]), lo_rows, hi_rows)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def encode_planes(
+    planes: jax.Array,
+    tile_n: int = DEFAULT_TILE_N,
+    interpret: bool = False,
+) -> jax.Array:
+    """``(L, N)`` ASCII uint8 → ``(2, N)`` uint32 [lo, hi] packed words."""
+    L, _ = planes.shape
+    if not 1 <= L <= 32:
+        raise ValueError(f"base count {L} outside 1..=32")
+    planes, n = _pad_lanes(planes, tile_n)
+    npad = planes.shape[1]
+    out = pl.pallas_call(
+        functools.partial(
+            _encode_kernel, lo_rows=min(L, 16), hi_rows=max(L - 16, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, npad), jnp.uint32),
+        grid=(npad // tile_n,),
+        in_specs=[
+            pl.BlockSpec((L, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (2, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(planes)
+    return out[:, :n]
+
+
+def _decode_kernel(pair_ref, out_ref, *, length: int):
+    out_ref[:] = _decode_tile(pair_ref[:], length)
+
+
+@functools.partial(jax.jit, static_argnames=("length", "tile_n", "interpret"))
+def decode_planes(
+    pair: jax.Array,
+    length: int,
+    tile_n: int = DEFAULT_TILE_N,
+    interpret: bool = False,
+) -> jax.Array:
+    """``(2, N)`` uint32 [lo, hi] → ``(L, N)`` uppercase ASCII uint8."""
+    if not 1 <= length <= 32:
+        raise ValueError(f"base count {length} outside 1..=32")
+    pair, n = _pad_lanes(pair, tile_n)
+    npad = pair.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel, length=length),
+        out_shape=jax.ShapeDtypeStruct((length, npad), jnp.uint8),
+        grid=(npad // tile_n,),
+        in_specs=[
+            pl.BlockSpec((2, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (length, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(pair)
+    return out[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# fused record kernels: ascii planes + index ↔ (6, N) column matrix
+# ---------------------------------------------------------------------------
+
+
+def _encode_records_kernel(
+    bc_ref, umi_ref, idx_ref, out_ref, *, bc_len: int, umi_len: int
+):
+    bc = _encode_tile(_ascii_to_codes(bc_ref[:]), min(bc_len, 16),
+                      max(bc_len - 16, 0))
+    umi = _encode_tile(_ascii_to_codes(umi_ref[:]), min(umi_len, 16),
+                       max(umi_len - 16, 0))
+    out_ref[:] = jnp.concatenate([bc, umi, idx_ref[:]], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def encode_records(
+    bc_planes: jax.Array,
+    umi_planes: jax.Array,
+    idx_pair: jax.Array,
+    tile_n: int = DEFAULT_TILE_N,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused record assembly: one pass from ASCII planes + index pair to the
+    ``(6, N) uint32`` device column matrix (rows per
+    :mod:`ibu_tpu.ops.u64`). This is the device-side equivalent of the
+    reference's write path ``Record::new`` + ``write_batch``
+    (``writer.rs:315-351``) with the bitnuc codec fused in.
+    """
+    bc_len, n = bc_planes.shape
+    umi_len = umi_planes.shape[0]
+    if not 1 <= bc_len <= 32:
+        raise ValueError(f"barcode length {bc_len} outside 1..=32")
+    if not 1 <= umi_len <= 32:
+        raise ValueError(f"UMI length {umi_len} outside 1..=32")
+    bc_planes, _ = _pad_lanes(bc_planes, tile_n)
+    umi_planes, _ = _pad_lanes(umi_planes, tile_n)
+    idx_pair, _ = _pad_lanes(idx_pair, tile_n)
+    npad = bc_planes.shape[1]
+    out = pl.pallas_call(
+        functools.partial(
+            _encode_records_kernel, bc_len=bc_len, umi_len=umi_len
+        ),
+        out_shape=jax.ShapeDtypeStruct((6, npad), jnp.uint32),
+        grid=(npad // tile_n,),
+        in_specs=[
+            pl.BlockSpec((bc_len, tile_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((umi_len, tile_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tile_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (6, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(bc_planes, umi_planes, idx_pair)
+    return out[:, :n]
+
+
+def _decode_records_kernel(
+    soa_ref, bc_out, umi_out, idx_out, *, bc_len: int, umi_len: int
+):
+    soa = soa_ref[:]
+    bc_out[:] = _decode_tile(soa[0:2], bc_len)
+    umi_out[:] = _decode_tile(soa[2:4], umi_len)
+    idx_out[:] = soa[4:6]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bc_len", "umi_len", "tile_n", "interpret")
+)
+def decode_records(
+    soa: jax.Array,
+    bc_len: int,
+    umi_len: int,
+    tile_n: int = DEFAULT_TILE_N,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused record disassembly: ``(6, N) uint32`` columns → barcode planes,
+    UMI planes, and the index [lo, hi] pair — the read-path inverse of
+    :func:`encode_records`.
+    """
+    if not 1 <= bc_len <= 32:
+        raise ValueError(f"barcode length {bc_len} outside 1..=32")
+    if not 1 <= umi_len <= 32:
+        raise ValueError(f"UMI length {umi_len} outside 1..=32")
+    soa, n = _pad_lanes(soa, tile_n)
+    npad = soa.shape[1]
+    bc, umi, idx = pl.pallas_call(
+        functools.partial(
+            _decode_records_kernel, bc_len=bc_len, umi_len=umi_len
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bc_len, npad), jnp.uint8),
+            jax.ShapeDtypeStruct((umi_len, npad), jnp.uint8),
+            jax.ShapeDtypeStruct((2, npad), jnp.uint32),
+        ),
+        grid=(npad // tile_n,),
+        in_specs=[
+            pl.BlockSpec((6, tile_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=(
+            pl.BlockSpec((bc_len, tile_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((umi_len, tile_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tile_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(soa)
+    return bc[:, :n], umi[:, :n], idx[:, :n]

@@ -1,0 +1,313 @@
+"""Device-mesh data-parallel engine.
+
+The TPU-native re-design of the reference's parallel path
+(``/root/reference/src/io/mmap.rs:286-332``): the two boundaries of the Rust
+engine map onto device concepts —
+
+* ``thread::spawn`` over mmap shards (``mmap.rs:310``) → a 1-D
+  ``jax.sharding.Mesh`` with record batches sharded over the ``"dp"`` axis
+  via ``shard_map``;
+* the ``Arc<Mutex>`` / atomic merge in ``on_batch_complete``
+  (``parallel.rs:162-164``) → ``jax.lax.psum`` over ICI.
+
+Shard partitioning mirrors the reference rule (contiguous, remainder to
+last; see :func:`ibu_tpu.parallel.host.partition`) at the host feeding
+level, while on device every batch is split evenly (padding with records
+that are no-ops for the running statistics, or masked via per-shard valid
+counts).
+
+The generic engine is :class:`MapReduce`; the flagship built-ins
+(:func:`sharded_stats`, :func:`stream_file_stats`) compute record counts,
+exact u64 field checksums, and per-barcode histograms over files of any
+size with double-buffered host→device streaming.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+shard_map = jax.shard_map
+
+from ibu_tpu.io.mmap import BATCH_SIZE, MmapReader
+from ibu_tpu.ops.stats import field_sums_soa, fold_limbs
+from ibu_tpu.ops.u64 import soa_from_records
+
+AXIS = "dp"
+
+
+def make_mesh(devices: list | None = None) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (AXIS,))
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def default_placer(arr: np.ndarray, mesh: Mesh, spec: P) -> jax.Array:
+    """Place a host array onto the mesh (single-process path).
+
+    Multi-host engines substitute a placer built on
+    ``jax.make_array_from_process_local_data`` (see
+    :mod:`ibu_tpu.parallel.multihost`).
+    """
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def shard_batch(
+    soa: np.ndarray, mesh: Mesh, placer=default_placer
+) -> tuple[jax.Array, jax.Array]:
+    """Pad a ``(6, B)`` host batch to an even device split and place it
+    sharded over the mesh. Returns ``(device_soa, valid_counts)`` where
+    ``valid_counts[s]`` is the number of real (non-padding) records on shard
+    ``s``. Padding records are all-zero.
+    """
+    s = mesh.devices.size
+    b = soa.shape[1]
+    per = _cdiv(max(b, 1), s)
+    padded = per * s
+    if padded != b:
+        soa = np.pad(soa, ((0, 0), (0, padded - b)))
+    valid = np.minimum(
+        np.maximum(b - per * np.arange(s), 0), per
+    ).astype(np.int32)
+    dev_soa = placer(soa, mesh, P(None, AXIS))
+    dev_valid = placer(valid, mesh, P(AXIS))
+    return dev_soa, dev_valid
+
+
+@dataclass(frozen=True)
+class MapReduce:
+    """Generic sharded map-reduce over record batches.
+
+    The batch-combinator distillation of the reference's
+    ``ParallelProcessor`` contract (``parallel.rs:100-189``):
+
+    * ``init()`` → per-shard state pytree (the thread-local accumulator);
+    * ``update(state, soa_local, n_valid)`` → new state — jax-traceable and
+      **total**; ``soa_local`` is the shard's ``(6, per)`` block, rows
+      beyond ``n_valid`` are zero padding (mask if zeros aren't neutral
+      for your statistic);
+    * ``merge(states)`` → host-side merge of the ``(S, ...)`` stacked
+      per-shard states (the ``on_batch_complete`` analogue; default:
+      elementwise sum, the common linear-statistic case).
+    """
+
+    init: Callable[[], Any]
+    update: Callable[[Any, jax.Array, jax.Array], Any]
+    merge: Callable[[Any], Any] | None = None
+
+    def compile_step(self, mesh: Mesh):
+        """Jitted per-batch step: ``(states, soa, valid) -> states`` where
+        ``states`` leaves are ``(S, ...)`` sharded over ``AXIS``, ``soa`` is
+        ``(6, B)`` sharded on its record axis, ``valid`` is ``(S,)``."""
+
+        def local_step(state, soa_local, valid_local):
+            unsq = jax.tree.map(lambda x: x[0], state)
+            new = self.update(unsq, soa_local, valid_local[0])
+            return jax.tree.map(lambda x: x[None], new)
+
+        return jax.jit(
+            shard_map(
+                local_step,
+                mesh=mesh,
+                in_specs=(P(AXIS), P(None, AXIS), P(AXIS)),
+                out_specs=P(AXIS),
+                check_vma=False,
+            )
+        )
+
+    def initial_states(self, mesh: Mesh, placer=default_placer) -> Any:
+        """Per-shard initial states, broadcast and placed over the mesh."""
+        s = mesh.devices.size
+        return jax.tree.map(
+            lambda x: placer(
+                np.broadcast_to(np.asarray(x), (s,) + np.asarray(x).shape).copy(),
+                mesh,
+                P(AXIS),
+            ),
+            self.init(),
+        )
+
+    def finalize(self, states) -> Any:
+        """Gather per-shard states to host and merge."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            host_states = jax.tree.map(
+                lambda x: np.asarray(multihost_utils.process_allgather(x)),
+                states,
+            )
+        else:
+            host_states = jax.tree.map(np.asarray, states)
+        if self.merge is None:
+            return jax.tree.map(lambda x: x.sum(axis=0), host_states)
+        return self.merge(host_states)
+
+    def run(
+        self,
+        batches: Iterator[np.ndarray],
+        mesh: Mesh | None = None,
+        placer=default_placer,
+    ) -> Any:
+        """Fold ``update`` over ``(6, B)`` host batches, sharded on ``mesh``
+        (single-process path; multi-host drives :meth:`compile_step`
+        directly — see :mod:`ibu_tpu.parallel.multihost`)."""
+        mesh = mesh or make_mesh()
+        step = self.compile_step(mesh)
+        states = self.initial_states(mesh, placer)
+        for batch in batches:
+            dev_soa, dev_valid = shard_batch(batch, mesh, placer)
+            states = step(states, dev_soa, dev_valid)
+        return self.finalize(states)
+
+
+# ---------------------------------------------------------------------------
+# flagship statistics: count + exact u64 checksums (+ histogram)
+# ---------------------------------------------------------------------------
+
+
+def _stats_init():
+    return {
+        "count": jnp.zeros((), jnp.uint32),
+        "count_hi": jnp.zeros((), jnp.uint32),
+        "sums": jnp.zeros((3, 4, 2), jnp.uint32),
+    }
+
+
+def _stats_update(state, soa_local, n_valid):
+    # zero padding is neutral for limb sums; count uses n_valid directly.
+    new_sums = state["sums"] + field_sums_soa(soa_local)
+    lo = state["count"] + n_valid.astype(jnp.uint32)
+    carry = (lo < state["count"]).astype(jnp.uint32)
+    return {
+        "count": lo,
+        "count_hi": state["count_hi"] + carry,
+        "sums": new_sums,
+    }
+
+
+STATS_MAP_REDUCE = MapReduce(init=_stats_init, update=_stats_update)
+
+
+def finalize_stats(merged) -> dict:
+    """Host fold of the summed per-shard stats state."""
+    count = int(merged["count"]) + (int(merged["count_hi"]) << 32)
+    sums = merged["sums"]
+    return {
+        "count": count,
+        "barcode_sum": fold_limbs(sums[0]),
+        "umi_sum": fold_limbs(sums[1]),
+        "index_sum": fold_limbs(sums[2]),
+    }
+
+
+def soa_batches_from_mmap(
+    reader: MmapReader, batch_records: int = 4 * BATCH_SIZE
+) -> Iterator[np.ndarray]:
+    """Stream a mapped file as ``(6, B)`` column batches (host transpose)."""
+    n = reader.len()
+    start = 0
+    while start < n:
+        end = min(start + batch_records, n)
+        yield soa_from_records(np.asarray(reader.slice(start, end)))
+        start = end
+
+
+def stream_file_stats(
+    reader: MmapReader,
+    mesh: Mesh | None = None,
+    batch_records: int = 4 * BATCH_SIZE,
+) -> dict:
+    """Count + exact field checksums of a whole file, streamed over the mesh.
+
+    The device equivalent of the reference's flagship benchmark
+    (``examples/parallel.rs:38-105``): shards process record batches in
+    parallel and partial statistics merge at the end.
+    """
+    merged = STATS_MAP_REDUCE.run(
+        soa_batches_from_mmap(reader, batch_records), mesh=mesh
+    )
+    return finalize_stats(merged)
+
+
+def sharded_stats(soa: np.ndarray, mesh: Mesh | None = None) -> dict:
+    """One-shot count + checksums of an in-memory ``(6, N)`` column matrix."""
+    merged = STATS_MAP_REDUCE.run(iter([soa]), mesh=mesh)
+    return finalize_stats(merged)
+
+
+# ---------------------------------------------------------------------------
+# sharded per-barcode histogram
+# ---------------------------------------------------------------------------
+
+
+def _masked_histogram(soa, n_valid, max_uniques: int):
+    """Per-shard histogram with padding masked via sort-carried weights."""
+    bc_lo, bc_hi = soa[0], soa[1]
+    n = bc_lo.shape[0]
+    w = (jnp.arange(n, dtype=jnp.int32) < n_valid).astype(jnp.uint32)
+    s_hi, s_lo, s_w = jax.lax.sort((bc_hi, bc_lo, w), num_keys=2)
+    first = jnp.concatenate(
+        [
+            jnp.ones((1,), dtype=jnp.bool_),
+            (s_hi[1:] != s_hi[:-1]) | (s_lo[1:] != s_lo[:-1]),
+        ]
+    )
+    seg_ids = jnp.cumsum(first.astype(jnp.int32)) - 1
+    counts = jax.ops.segment_sum(s_w, seg_ids, num_segments=max_uniques)
+    unique_lo = jnp.zeros((max_uniques,), jnp.uint32).at[seg_ids].set(s_lo)
+    unique_hi = jnp.zeros((max_uniques,), jnp.uint32).at[seg_ids].set(s_hi)
+    return unique_lo, unique_hi, counts
+
+
+def sharded_barcode_histogram(
+    batches: Iterator[np.ndarray],
+    mesh: Mesh | None = None,
+    max_uniques_per_shard: int = 1 << 16,
+) -> dict[int, int]:
+    """Barcode → count over sharded batches; host dict merge across shards.
+
+    Each shard histograms its local block on device; the sparse per-shard
+    results merge in a host dict (barcode spaces are data-dependent, so the
+    cross-shard union stays host-side by design).
+    """
+    mesh = mesh or make_mesh()
+
+    hist_fn = jax.jit(
+        shard_map(
+            functools.partial(
+                _masked_histogram, max_uniques=max_uniques_per_shard
+            ),
+            mesh=mesh,
+            in_specs=(P(None, AXIS), P(AXIS)),
+            out_specs=P(AXIS),
+            check_vma=False,
+        )
+    )
+
+    totals: dict[int, int] = {}
+    for batch in batches:
+        dev_soa, dev_valid = shard_batch(batch, mesh)
+        u_lo, u_hi, counts = jax.tree.map(
+            np.asarray, hist_fn(dev_soa, dev_valid)
+        )
+        s = mesh.devices.size
+        per = u_lo.shape[0] // s
+        for sh in range(s):
+            lo = u_lo[sh * per : (sh + 1) * per]
+            hi = u_hi[sh * per : (sh + 1) * per]
+            c = counts[sh * per : (sh + 1) * per]
+            nz = np.nonzero(c)[0]
+            for i in nz:
+                key = int(lo[i]) | (int(hi[i]) << 32)
+                totals[key] = totals.get(key, 0) + int(c[i])
+    return totals

@@ -1,0 +1,146 @@
+"""Multi-host (pod-slice) data-parallel processing.
+
+The reference shares one ``Arc<Mmap>`` between OS threads
+(``/root/reference/src/io/mmap.rs:102,308``); across hosts that becomes:
+
+* each process opens the file itself and reads **only its own record
+  range** — the same contiguous remainder-to-last partition rule as the
+  reference (``mmap.rs:297-307``), applied at process granularity;
+* per-process batches become global arrays via
+  ``jax.make_array_from_process_local_data`` over a global mesh, so the
+  engine's collectives ride ICI within a slice and DCN across slices;
+* every process runs the same number of global steps (short shards pad
+  with empty batches), because collectives are cohort-wide.
+
+Single-process environments degrade gracefully: the global mesh is the
+local one and the byte range is the whole file, so these entry points are
+exercised by the single-host test suite too.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ibu_tpu.io.mmap import BATCH_SIZE, MmapReader
+from ibu_tpu.ops.u64 import soa_from_records
+from ibu_tpu.parallel.device import (
+    AXIS,
+    STATS_MAP_REDUCE,
+    finalize_stats,
+    make_mesh,
+)
+from ibu_tpu.parallel.host import partition
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Initialize the JAX process group (no-op when single-process).
+
+    The TPU-native replacement for spinning up the reference's thread pool:
+    on a pod slice each host calls this once before any collective work.
+    """
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def local_record_range(total_records: int) -> tuple[int, int]:
+    """This process's contiguous record range (reference partition rule)."""
+    bounds = partition(total_records, jax.process_count())
+    return bounds[jax.process_index()]
+
+
+def local_soa_batches(
+    reader: MmapReader, batch_records: int = 4 * BATCH_SIZE
+) -> Iterator[np.ndarray]:
+    """Stream only this process's shard of the file as ``(6, B)`` batches."""
+    start, end = local_record_range(reader.len())
+    pos = start
+    while pos < end:
+        stop = min(pos + batch_records, end)
+        yield soa_from_records(np.asarray(reader.slice(pos, stop)))
+        pos = stop
+
+
+def process_local_placer(local: np.ndarray, mesh: Mesh, spec: P) -> jax.Array:
+    """Assemble identical-shaped per-process blocks into one global array."""
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, spec), local
+    )
+
+
+def multihost_file_stats(
+    path: str,
+    mesh: Mesh | None = None,
+    batch_records: int = 4 * BATCH_SIZE,
+) -> dict:
+    """Count + exact u64 field checksums across all hosts of a pod slice.
+
+    Parity target: BASELINE.json config 5 ("multi-host parallel: records
+    sharded across pod slice, parallel count + allreduce merge"). Every
+    process streams its own byte range; partial limb-sum states merge at
+    the end (``psum``-equivalent host fold of the gathered per-shard
+    states).
+    """
+    reader = MmapReader(path)
+    engine = STATS_MAP_REDUCE
+
+    if jax.process_count() == 1:
+        merged = engine.run(local_soa_batches(reader, batch_records), mesh=mesh)
+        return finalize_stats(merged)
+
+    from jax.experimental import multihost_utils
+
+    mesh = mesh or make_mesh()
+    s_local = jax.local_device_count()
+    per_dev = _cdiv(batch_records, s_local)
+    local_cols = per_dev * s_local  # fixed local block width every round
+
+    start, end = local_record_range(reader.len())
+    rounds = int(
+        np.max(
+            np.asarray(
+                multihost_utils.process_allgather(
+                    np.array([_cdiv(max(end - start, 0), local_cols)])
+                )
+            )
+        )
+    )
+
+    step = engine.compile_step(mesh)
+    states = engine.initial_states(mesh, process_local_placer)
+
+    pos = start
+    for _ in range(rounds):
+        stop = min(pos + local_cols, end)
+        if stop > pos:
+            blk = soa_from_records(np.asarray(reader.slice(pos, stop)))
+        else:
+            blk = np.zeros((6, 0), dtype=np.uint32)
+        b_local = blk.shape[1]
+        pos = stop
+        if b_local < local_cols:
+            blk = np.pad(blk, ((0, 0), (0, local_cols - b_local)))
+        valid_local = np.minimum(
+            np.maximum(b_local - per_dev * np.arange(s_local), 0), per_dev
+        ).astype(np.int32)
+        g_soa = process_local_placer(blk, mesh, P(None, AXIS))
+        g_valid = process_local_placer(valid_local, mesh, P(AXIS))
+        states = step(states, g_soa, g_valid)
+
+    return finalize_stats(engine.finalize(states))

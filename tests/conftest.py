@@ -8,12 +8,28 @@ Must run before any jax import, hence the env mutation at module top.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the surrounding environment may pre-set JAX_PLATFORMS to a TPU
+# platform (e.g. "axon"), and compiling every test kernel through the TPU
+# tunnel is both slow and contended. Tests always run on the virtual CPU
+# mesh; bench.py is the TPU path.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The env var alone is not enough here: the environment's TPU plugin
+# ("axon") re-selects itself during backend init, so pin the config too.
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache: most test wall-time is XLA compilation of the
+# many (L, tile) kernel variants; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/ibu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np
 import pytest

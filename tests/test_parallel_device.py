@@ -1,0 +1,161 @@
+"""Device-mesh engine tests on the 8-device virtual CPU mesh.
+
+The strategy mirrors the reference's parallel tests (closed-form checksums,
+``mmap.rs:454-481``) with ``shard_map`` shards in place of OS threads.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ibu_tpu.constructs.record import make_records
+from ibu_tpu.ops.stats import barcode_histogram_np, checksum_records_np
+from ibu_tpu.ops.u64 import soa_from_records
+from ibu_tpu.parallel.device import (
+    MapReduce,
+    make_mesh,
+    sharded_barcode_histogram,
+    sharded_stats,
+    soa_batches_from_mmap,
+    stream_file_stats,
+)
+from ibu_tpu.io.mmap import MmapReader
+from ibu_tpu.parallel.multihost import local_record_range, multihost_file_stats
+from tests.conftest import make_records_arange
+
+
+def random_records(n, seed=0, bc_space=None):
+    rng = np.random.default_rng(seed)
+    return make_records(
+        rng.integers(0, bc_space or (1 << 63), n, dtype=np.uint64),
+        rng.integers(0, 1 << 63, n, dtype=np.uint64),
+        rng.integers(0, 1 << 63, n, dtype=np.uint64),
+    )
+
+
+def test_virtual_mesh_has_8_devices():
+    assert make_mesh().devices.size == 8
+
+
+class TestShardedStats:
+    def test_matches_oracle_even_split(self):
+        records = random_records(8 * 1000)
+        got = sharded_stats(soa_from_records(records))
+        want = checksum_records_np(records)
+        assert got["count"] == 8000
+        assert (got["barcode_sum"], got["umi_sum"], got["index_sum"]) == want
+
+    def test_uneven_split_pads(self):
+        records = random_records(8 * 1000 + 3, seed=1)
+        got = sharded_stats(soa_from_records(records))
+        assert got["count"] == 8003
+        assert got["barcode_sum"] == checksum_records_np(records)[0]
+
+    def test_tiny_batch_smaller_than_mesh(self):
+        records = random_records(3, seed=2)
+        got = sharded_stats(soa_from_records(records))
+        assert got["count"] == 3
+        assert got["index_sum"] == checksum_records_np(records)[2]
+
+    def test_empty(self):
+        got = sharded_stats(soa_from_records(random_records(0)))
+        assert got == {
+            "count": 0,
+            "barcode_sum": 0,
+            "umi_sum": 0,
+            "index_sum": 0,
+        }
+
+
+class TestStreamFileStats:
+    def test_streamed_matches_oracle(self, tmp_ibu_file):
+        records = random_records(50_001, seed=3)
+        path = tmp_ibu_file(records)
+        got = stream_file_stats(MmapReader(path), batch_records=8192)
+        want = checksum_records_np(records)
+        assert got["count"] == 50_001
+        assert (got["barcode_sum"], got["umi_sum"], got["index_sum"]) == want
+
+    def test_closed_form(self, tmp_ibu_file):
+        n = 10_000
+        path = tmp_ibu_file(make_records_arange(n))
+        got = stream_file_stats(MmapReader(path), batch_records=4096)
+        s = n * (n - 1) // 2
+        assert (got["barcode_sum"], got["umi_sum"], got["index_sum"]) == (
+            s,
+            2 * s,
+            3 * s,
+        )
+
+    def test_soa_batches_cover_file(self, tmp_ibu_file):
+        path = tmp_ibu_file(make_records_arange(10_000))
+        total = sum(
+            b.shape[1] for b in soa_batches_from_mmap(MmapReader(path), 3000)
+        )
+        assert total == 10_000
+
+
+class TestCustomMapReduce:
+    def test_max_index_with_custom_merge(self):
+        """Non-linear statistic: per-shard max merged by host max."""
+
+        engine = MapReduce(
+            init=lambda: jnp.zeros((), jnp.uint32),
+            update=lambda st, soa, n_valid: jnp.maximum(st, jnp.max(soa[4])),
+            merge=lambda states: int(states.max()),
+        )
+        records = make_records_arange(1000)
+        got = engine.run(iter([soa_from_records(records)]))
+        assert got == 3 * 999
+
+    def test_multiple_batches_accumulate(self):
+        records = random_records(20_000, seed=5)
+        soa = soa_from_records(records)
+        batches = [soa[:, i : i + 4096] for i in range(0, 20_000, 4096)]
+        from ibu_tpu.parallel.device import STATS_MAP_REDUCE, finalize_stats
+
+        got = finalize_stats(STATS_MAP_REDUCE.run(iter(batches)))
+        assert got["count"] == 20_000
+        assert got["umi_sum"] == checksum_records_np(records)[1]
+
+
+class TestShardedHistogram:
+    def test_matches_oracle(self):
+        records = random_records(20_000, seed=7, bc_space=500)
+        batches = [soa_from_records(records)]
+        got = sharded_barcode_histogram(iter(batches), max_uniques_per_shard=1024)
+        assert got == barcode_histogram_np(records)
+
+    def test_across_batches(self):
+        records = random_records(10_000, seed=8, bc_space=50)
+        soa = soa_from_records(records)
+        batches = [soa[:, :3000], soa[:, 3000:]]
+        got = sharded_barcode_histogram(iter(batches), max_uniques_per_shard=512)
+        assert got == barcode_histogram_np(records)
+
+    def test_padding_not_counted(self):
+        """n not divisible by 8: zero-padding must not inflate barcode 0."""
+        records = make_records(
+            np.zeros(9, dtype=np.uint64),  # all barcode 0, n=9 → pads to 16
+            np.arange(9, dtype=np.uint64),
+            np.arange(9, dtype=np.uint64),
+        )
+        got = sharded_barcode_histogram(
+            iter([soa_from_records(records)]), max_uniques_per_shard=64
+        )
+        assert got == {0: 9}
+
+
+class TestMultihostSingleProcess:
+    def test_local_range_is_whole_file(self):
+        assert jax.process_count() == 1
+        assert local_record_range(1234) == (0, 1234)
+
+    def test_stats_match_stream(self, tmp_ibu_file):
+        records = random_records(30_000, seed=9)
+        path = tmp_ibu_file(records)
+        got = multihost_file_stats(path, batch_records=8192)
+        want = checksum_records_np(records)
+        assert got["count"] == 30_000
+        assert (got["barcode_sum"], got["umi_sum"], got["index_sum"]) == want

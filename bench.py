@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Headline benchmark: device-resident 2-bit pack+unpack roundtrip throughput.
+
+Measures the fused Pallas record codec (encode_records + decode_records) on
+whatever device jax selects (the TPU chip in production; tests/CI can pin
+CPU). Prints exactly ONE JSON line to stdout:
+
+    {"metric": "...", "value": N, "unit": "GB/s", "vs_baseline": N}
+
+``vs_baseline`` is the ratio against the 10 GB/s/chip pack+unpack target
+from BASELINE.md (the reference itself publishes no measured numbers; its
+prose claims 1-2 GB/s write / 2-4 GB/s read on CPU —
+``/root/reference/README.md:171-174``).
+
+Bytes accounted per record per roundtrip (bc16/umi12): encode reads
+16+12+8=36 B and writes 24 B; decode reads 24 B and writes 36 B → 120 B.
+Diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+from ibu_tpu.utils import apply_platform_env
+
+apply_platform_env()
+
+import jax
+import jax.numpy as jnp
+
+from ibu_tpu.ops import codec as C
+from ibu_tpu.ops.codec_pallas import decode_records, encode_records
+
+BASELINE_GBPS = 10.0  # BASELINE.md north-star target: ≥10 GB/s per chip
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _pattern_codes_np(length: int, n: int, stride: int) -> np.ndarray:
+    return (np.arange(length)[:, None] * stride + np.arange(n)[None, :]) % 4
+
+
+def make_inputs_device(n: int, bc_len: int, umi_len: int):
+    """Deterministic patterned planes, generated ON DEVICE.
+
+    The chip here may sit behind a slow host↔device tunnel; shipping
+    hundreds of MB of host arrays would dominate (and once wedged the
+    transfer for minutes). An iota-based pattern keeps the benchmark purely
+    device-resident, with a host oracle for spot checks.
+    """
+
+    @jax.jit
+    def gen():
+        def planes(length, stride):
+            row = jax.lax.broadcasted_iota(jnp.int32, (length, n), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (length, n), 1)
+            code = (row * stride + col) % 4
+            return (
+                65 + 2 * code + 2 * (code >> 1) + 11 * (code & (code >> 1))
+            ).astype(jnp.uint8)
+
+        idx = jnp.stack(
+            [
+                jax.lax.broadcasted_iota(jnp.uint32, (2, n), 1)[0],
+                jnp.zeros((n,), jnp.uint32),
+            ]
+        )
+        return planes(bc_len, 7), planes(umi_len, 3), idx
+
+    bc, umi, idx = gen()
+    jax.block_until_ready((bc, umi, idx))
+    return bc, umi, idx
+
+
+def bench_roundtrip(
+    n: int, bc_len: int, umi_len: int, tile_n: int, iters: int, use_pallas: bool
+) -> dict:
+    bc, umi, idx = make_inputs_device(n, bc_len, umi_len)
+
+    if use_pallas:
+        def roundtrip(bc, umi, idx):
+            soa = encode_records(bc, umi, idx, tile_n=tile_n)
+            return decode_records(soa, bc_len, umi_len, tile_n=tile_n)
+    else:
+        from ibu_tpu.ops.codec import lax_decode_planes, lax_encode_planes
+
+        def roundtrip(bc, umi, idx):
+            soa = jnp.concatenate(
+                [lax_encode_planes(bc), lax_encode_planes(umi), idx]
+            )
+            return (
+                lax_decode_planes(soa[0:2], bc_len),
+                lax_decode_planes(soa[2:4], umi_len),
+                soa[4:6],
+            )
+
+    step = jax.jit(roundtrip)
+
+    t0 = time.perf_counter()
+    out = step(bc, umi, idx)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+    log(f"first call (compile+run): {compile_s:.1f}s")
+
+    # correctness spot-check against the host oracle
+    bc_back, umi_back, idx_back = out
+    want_codes = _pattern_codes_np(bc_len, 1024, 7).astype(np.uint8)
+    want_ascii = C.np_decode_ascii(want_codes)
+    assert np.array_equal(np.asarray(bc_back[:, :1024]), want_ascii), (
+        "roundtrip mismatch on barcode planes"
+    )
+    assert np.array_equal(
+        np.asarray(idx_back[0, :1024]), np.arange(1024, dtype=np.uint32)
+    )
+
+    # timed loop
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(bc, umi, idx)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    bytes_per_record = 2 * (bc_len + umi_len + 8 + 24)
+    gbps = n * bytes_per_record / dt / 1e9
+    return {
+        "seconds_per_iter": dt,
+        "records_per_s": n / dt,
+        "gbps": gbps,
+        "bytes_per_record": bytes_per_record,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--records", type=int, default=1 << 24)
+    ap.add_argument("--bc-len", type=int, default=16)
+    ap.add_argument("--umi-len", type=int, default=12)
+    ap.add_argument("--tile-n", type=int, default=None)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    backend = jax.default_backend()
+    use_pallas = backend == "tpu"
+    log(f"backend: {backend} devices: {jax.devices()} pallas: {use_pallas}")
+
+    from ibu_tpu.ops.codec_pallas import DEFAULT_TILE_N
+
+    tile_n = args.tile_n or DEFAULT_TILE_N
+    r = bench_roundtrip(
+        args.records, args.bc_len, args.umi_len, tile_n, args.iters, use_pallas
+    )
+    log(
+        f"pack+unpack roundtrip: {r['seconds_per_iter']*1e3:.2f} ms/iter, "
+        f"{r['records_per_s']/1e9:.3f} G records/s, {r['gbps']:.1f} GB/s "
+        f"({r['bytes_per_record']} B/record)"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "pack+unpack roundtrip throughput (device-resident, bc16/umi12)",
+                "value": round(r["gbps"], 2),
+                "unit": "GB/s",
+                "vs_baseline": round(r["gbps"] / BASELINE_GBPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,28 @@
+"""Native (C++) host runtime: bulk file I/O, threaded engine, host codec.
+
+Built lazily with g++ on first use; see :mod:`ibu_tpu.native.bindings`.
+"""
+
+from ibu_tpu.native.bindings import (
+    available,
+    checksum_parallel,
+    file_size,
+    load_error,
+    pack_2bit,
+    read_records,
+    sort_records,
+    unpack_2bit,
+    write_file,
+)
+
+__all__ = [
+    "available",
+    "checksum_parallel",
+    "file_size",
+    "load_error",
+    "pack_2bit",
+    "read_records",
+    "sort_records",
+    "unpack_2bit",
+    "write_file",
+]

@@ -1,0 +1,182 @@
+"""ctypes bindings for the native host runtime.
+
+Graceful degradation: if the toolchain is unavailable the library reports
+``available() == False`` and callers fall back to the numpy paths; nothing
+in :mod:`ibu_tpu` hard-requires native code.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+from ibu_tpu.constructs.record import RECORD_DTYPE
+from ibu_tpu.native.build import NativeBuildError, build
+
+_lib: ctypes.CDLL | None = None
+_load_error: str | None = None
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _load_error
+    if _lib is not None or _load_error is not None:
+        return _lib
+    try:
+        path = build()
+        lib = ctypes.CDLL(path)
+    except (NativeBuildError, OSError) as e:
+        _load_error = str(e)
+        return None
+
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.ibu_write_file.argtypes = [ctypes.c_char_p, u8p, u8p, ctypes.c_uint64]
+    lib.ibu_write_file.restype = ctypes.c_int
+    lib.ibu_read_file.argtypes = [
+        ctypes.c_char_p, u8p, ctypes.c_uint64, ctypes.c_uint64,
+    ]
+    lib.ibu_read_file.restype = ctypes.c_int
+    lib.ibu_file_size.argtypes = [ctypes.c_char_p, u64p]
+    lib.ibu_file_size.restype = ctypes.c_int
+    lib.ibu_checksum_parallel.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, u64p, ctypes.c_int,
+    ]
+    lib.ibu_checksum_parallel.restype = ctypes.c_int
+    lib.ibu_pack_2bit.argtypes = [
+        u8p, ctypes.c_uint64, ctypes.c_uint32, u64p, ctypes.c_int,
+    ]
+    lib.ibu_pack_2bit.restype = ctypes.c_int
+    lib.ibu_unpack_2bit.argtypes = [
+        u64p, ctypes.c_uint64, ctypes.c_uint32, u8p,
+    ]
+    lib.ibu_unpack_2bit.restype = ctypes.c_int
+    lib.ibu_sort_records.argtypes = [u8p, ctypes.c_uint64]
+    lib.ibu_sort_records.restype = ctypes.c_int
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    """Whether the native library could be built and loaded."""
+    return _load() is not None
+
+
+def load_error() -> str | None:
+    _load()
+    return _load_error
+
+
+def _check(rc: int, what: str) -> None:
+    if rc != 0:
+        raise OSError(-rc, f"native {what} failed: {os.strerror(-rc)}")
+
+
+def _u8ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _u64ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def write_file(path: str, header_bytes: bytes | None, records: np.ndarray) -> None:
+    """Header + record-batch file write in one native call."""
+    lib = _load()
+    assert lib is not None
+    records = np.ascontiguousarray(records)
+    hdr = None
+    if header_bytes is not None:
+        if len(header_bytes) != 32:
+            raise ValueError("header must be 32 bytes")
+        hdr = (ctypes.c_uint8 * 32).from_buffer_copy(header_bytes)
+    _check(
+        lib.ibu_write_file(
+            path.encode(), hdr, _u8ptr(records.view(np.uint8).reshape(-1)),
+            records.nbytes,
+        ),
+        "write_file",
+    )
+
+
+def read_records(path: str, n_records: int, offset: int = 32) -> np.ndarray:
+    """Bulk-read ``n_records`` records starting at byte ``offset``."""
+    lib = _load()
+    assert lib is not None
+    out = np.empty(n_records, dtype=RECORD_DTYPE)
+    _check(
+        lib.ibu_read_file(
+            path.encode(), _u8ptr(out.view(np.uint8).reshape(-1)),
+            out.nbytes, offset,
+        ),
+        "read_records",
+    )
+    return out
+
+
+def file_size(path: str) -> int:
+    lib = _load()
+    assert lib is not None
+    out = ctypes.c_uint64(0)
+    _check(lib.ibu_file_size(path.encode(), ctypes.byref(out)), "file_size")
+    return out.value
+
+
+def checksum_parallel(path: str, n_records: int, nthreads: int = 0) -> tuple[int, int, int]:
+    """Native mmap + threads field-sum engine (reference parity path)."""
+    lib = _load()
+    assert lib is not None
+    out = (ctypes.c_uint64 * 3)()
+    _check(
+        lib.ibu_checksum_parallel(path.encode(), n_records, out, nthreads),
+        "checksum_parallel",
+    )
+    return int(out[0]), int(out[1]), int(out[2])
+
+
+def pack_2bit(ascii_rows: np.ndarray, validate: bool = True) -> np.ndarray:
+    """``(N, L)`` ASCII → ``(N,)`` u64 (host codec; bitnuc semantics)."""
+    lib = _load()
+    assert lib is not None
+    ascii_rows = np.ascontiguousarray(ascii_rows, dtype=np.uint8)
+    n, L = ascii_rows.shape
+    out = np.empty(n, dtype=np.uint64)
+    rc = lib.ibu_pack_2bit(
+        _u8ptr(ascii_rows.reshape(-1)), n, L, _u64ptr(out), 1 if validate else 0
+    )
+    if rc == -22:  # EINVAL: invalid base (validate=True) or bad length
+        raise ValueError("invalid nucleotide or length in pack_2bit")
+    _check(rc, "pack_2bit")
+    return out
+
+
+def unpack_2bit(words: np.ndarray, length: int) -> np.ndarray:
+    """``(N,)`` u64 → ``(N, L)`` uppercase ASCII."""
+    lib = _load()
+    assert lib is not None
+    words = np.ascontiguousarray(words, dtype=np.uint64)
+    out = np.empty((len(words), length), dtype=np.uint8)
+    _check(
+        lib.ibu_unpack_2bit(
+            _u64ptr(words), len(words), length, _u8ptr(out.reshape(-1))
+        ),
+        "unpack_2bit",
+    )
+    return out
+
+
+def sort_records(records: np.ndarray) -> np.ndarray:
+    """In-place lexicographic sort of a structured record array (returns it)."""
+    lib = _load()
+    assert lib is not None
+    if records.dtype != RECORD_DTYPE:
+        raise ValueError(f"expected dtype {RECORD_DTYPE}")
+    records = np.ascontiguousarray(records)
+    _check(
+        lib.ibu_sort_records(
+            _u8ptr(records.view(np.uint8).reshape(-1)), len(records)
+        ),
+        "sort_records",
+    )
+    return records

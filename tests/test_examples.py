@@ -1,0 +1,88 @@
+"""Smoke tests for the example CLIs and bench (subprocess, CPU-pinned)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ENV = {
+    **os.environ,
+    "JAX_PLATFORMS": "cpu",
+    "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+}
+
+
+def run(args, timeout=180):
+    return subprocess.run(
+        [sys.executable] + args,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        env=ENV,
+        cwd=REPO,
+    )
+
+
+class TestRandomExample:
+    def test_generates_file(self, tmp_path):
+        out = str(tmp_path / "r.ibu")
+        p = run([f"{REPO}/examples/random.py", out, "--records", "0.01",
+                 "--seed", "7"])
+        assert p.returncode == 0, p.stderr
+        assert "Finished generating 10000 records" in p.stderr
+        assert os.path.getsize(out) == 32 + 10_000 * 24
+
+    def test_respects_lengths_and_ranges(self, tmp_path):
+        out = str(tmp_path / "r.ibu")
+        p = run([f"{REPO}/examples/random.py", out, "--records", "0.001",
+                 "--bc-len", "8", "--umi-len", "6", "--barcodes", "4",
+                 "--max-index", "9", "--seed", "1"])
+        assert p.returncode == 0, p.stderr
+        from ibu_tpu import load_to_vec
+
+        header, recs = load_to_vec(out)
+        assert (header.bc_len, header.umi_len) == (8, 6)
+        assert recs["barcode"].max() < 4
+        assert recs["index"].max() < 9
+
+
+class TestRoundtripExample:
+    def test_small_roundtrip(self, tmp_path):
+        p = run([f"{REPO}/examples/roundtrip.py", "--records", "0.05",
+                 "--file", str(tmp_path / "rt.ibu")])
+        assert p.returncode == 0, p.stderr + p.stdout
+        assert "Record count matches" in p.stdout
+        assert "file cleaned up" in p.stdout
+        assert not os.path.exists(tmp_path / "rt.ibu")
+
+
+class TestParallelExample:
+    def test_both_engines(self, tmp_path):
+        p = run([f"{REPO}/examples/parallel.py", "--records", "0.05",
+                 "--engine", "both", "--file", str(tmp_path / "p.ibu")])
+        assert p.returncode == 0, p.stderr + p.stdout
+        assert p.stdout.count("checksum OK") == 2
+
+
+class TestBench:
+    def test_bench_cpu_emits_json_line(self):
+        p = run([f"{REPO}/bench.py", "--records", "65536", "--iters", "2"],
+                timeout=240)
+        assert p.returncode == 0, p.stderr
+        line = p.stdout.strip().splitlines()[-1]
+        d = json.loads(line)
+        assert set(d) == {"metric", "value", "unit", "vs_baseline"}
+        assert d["unit"] == "GB/s"
+        assert d["value"] > 0
+
+
+class TestGraftEntry:
+    def test_entry_and_dryrun(self):
+        p = run([f"{REPO}/__graft_entry__.py"], timeout=240)
+        assert p.returncode == 0, p.stderr
+        assert "entry OK" in p.stdout
+        assert "dryrun_multichip(8) OK" in p.stdout

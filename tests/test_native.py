@@ -1,0 +1,112 @@
+"""Native (C++) host runtime tests — parity with the numpy oracles.
+
+Skipped wholesale if the toolchain can't build the library (nothing in
+ibu_tpu hard-requires native code).
+"""
+
+import numpy as np
+import pytest
+
+from ibu_tpu import Header, native, sort_records
+from ibu_tpu.constructs.record import make_records
+from ibu_tpu.ops import codec as C
+from tests.conftest import make_records_arange
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason=f"native build unavailable: {native.load_error()}"
+)
+
+
+class TestNativeCodec:
+    @pytest.mark.parametrize("L", [1, 16, 17, 32])
+    def test_pack_matches_numpy(self, L):
+        rows = np.frombuffer(b"ACGT", dtype=np.uint8)[
+            np.random.default_rng(L).integers(0, 4, (500, L))
+        ]
+        assert np.array_equal(native.pack_2bit(rows), C.np_pack(rows))
+
+    @pytest.mark.parametrize("L", [1, 16, 17, 32])
+    def test_unpack_matches_numpy(self, L):
+        rows = np.frombuffer(b"ACGT", dtype=np.uint8)[
+            np.random.default_rng(100 + L).integers(0, 4, (500, L))
+        ]
+        words = C.np_pack(rows)
+        assert np.array_equal(native.unpack_2bit(words, L), rows)
+
+    def test_lowercase(self):
+        rows = np.frombuffer(b"acgt", dtype=np.uint8)[
+            np.random.default_rng(0).integers(0, 4, (64, 8))
+        ]
+        assert np.array_equal(native.pack_2bit(rows), C.np_pack(rows))
+
+    def test_invalid_base_rejected(self):
+        with pytest.raises(ValueError):
+            native.pack_2bit(np.frombuffer(b"ACGN", dtype=np.uint8).reshape(1, 4))
+
+    def test_invalid_length_rejected(self):
+        with pytest.raises(ValueError):
+            native.pack_2bit(np.zeros((1, 33), dtype=np.uint8), validate=False)
+
+
+class TestNativeIO:
+    def test_write_read_roundtrip(self, tmp_path):
+        recs = make_records_arange(10_000)
+        path = str(tmp_path / "n.ibu")
+        native.write_file(path, Header.new(16, 12).as_bytes(), recs)
+        assert native.file_size(path) == 32 + 10_000 * 24
+        back = native.read_records(path, 10_000)
+        assert np.array_equal(back, recs)
+
+    def test_file_is_valid_for_python_reader(self, tmp_path):
+        """Native-written files read back through the Python stack."""
+        from ibu_tpu import Reader
+
+        recs = make_records_arange(100)
+        path = str(tmp_path / "n.ibu")
+        native.write_file(path, Header.new(8, 8).as_bytes(), recs)
+        r = Reader.from_path(path)
+        assert r.header().bc_len == 8
+        assert sum(len(b) for b in r.batches()) == 100
+
+    def test_headless_write(self, tmp_path):
+        recs = make_records_arange(5)
+        path = str(tmp_path / "h.bin")
+        native.write_file(path, None, recs)
+        assert native.file_size(path) == 5 * 24
+
+    def test_missing_file_errors(self, tmp_path):
+        with pytest.raises(OSError):
+            native.read_records(str(tmp_path / "nope.ibu"), 10)
+
+
+class TestNativeEngine:
+    def test_checksum_closed_form(self, tmp_path):
+        n = 50_000
+        recs = make_records_arange(n)
+        path = str(tmp_path / "c.ibu")
+        native.write_file(path, Header.new(16, 12).as_bytes(), recs)
+        s = n * (n - 1) // 2
+        assert native.checksum_parallel(path, n, 2) == (s, 2 * s, 3 * s)
+        assert native.checksum_parallel(path, n, 0) == (s, 2 * s, 3 * s)
+
+    def test_checksum_wraps_u64(self, tmp_path):
+        recs = make_records(
+            np.full(3, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64),
+            np.zeros(3, dtype=np.uint64),
+            np.zeros(3, dtype=np.uint64),
+        )
+        path = str(tmp_path / "w.ibu")
+        native.write_file(path, Header.new(16, 12).as_bytes(), recs)
+        got = native.checksum_parallel(path, 3, 1)
+        assert got[0] == (3 * 0xFFFFFFFFFFFFFFFF) & 0xFFFFFFFFFFFFFFFF
+
+    def test_sort_matches_numpy(self):
+        rng = np.random.default_rng(2)
+        recs = make_records(
+            rng.integers(0, 50, 3000, dtype=np.uint64),
+            rng.integers(0, 50, 3000, dtype=np.uint64),
+            rng.integers(0, 50, 3000, dtype=np.uint64),
+        )
+        want = sort_records(recs)
+        got = native.sort_records(recs.copy())
+        assert np.array_equal(got, want)

@@ -122,11 +122,49 @@ def bench_roundtrip(
         np.asarray(idx_back[0, :1024]), np.arange(1024, dtype=np.uint32)
     )
 
-    # timed loop
+    # Timed loop with an iteration-to-iteration data dependency. A chain is
+    # mandatory here: remote/experimental backends have been observed to
+    # memoize or overlap repeated identical executions, making independent
+    # same-input loops report physically impossible throughput (>10 TB/s).
+    # Each iteration perturbs the barcode input with a runtime value derived
+    # from the previous decode, so no execution can be elided or reordered.
+    @jax.jit
+    def chained(bc, umi, idx, carry):
+        # perturb the smallest input stream (the index pair, 8 B/record) so
+        # the chain costs the least extra bandwidth while still forcing a
+        # true dependency on the previous iteration's output
+        idx_in = idx ^ carry
+        if use_pallas:
+            soa = encode_records(bc, umi, idx_in, tile_n=tile_n)
+            bc_out, umi_out, idx_out = decode_records(
+                soa, bc_len, umi_len, tile_n=tile_n
+            )
+        else:
+            from ibu_tpu.ops.codec import lax_decode_planes, lax_encode_planes
+
+            soa = jnp.concatenate(
+                [lax_encode_planes(bc), lax_encode_planes(umi), idx_in]
+            )
+            bc_out = lax_decode_planes(soa[0:2], bc_len)
+            umi_out = lax_decode_planes(soa[2:4], umi_len)
+            idx_out = soa[4:6]
+        # evolving carry consuming every output, so nothing is dead code;
+        # never revisits the same (input, carry) pair
+        return (
+            carry
+            + idx_out[0, 1]
+            + bc_out[0, 0].astype(jnp.uint32)
+            + umi_out[0, 0].astype(jnp.uint32)
+            + jnp.uint32(1)
+        ).astype(jnp.uint32)
+
+    carry = jnp.uint32(0)
+    carry = chained(bc, umi, idx, carry)  # compile
+    jax.block_until_ready(carry)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = step(bc, umi, idx)
-    jax.block_until_ready(out)
+        carry = chained(bc, umi, idx, carry)
+    jax.block_until_ready(carry)
     dt = (time.perf_counter() - t0) / iters
 
     bytes_per_record = 2 * (bc_len + umi_len + 8 + 24)
@@ -146,6 +184,8 @@ def main() -> None:
     ap.add_argument("--umi-len", type=int, default=12)
     ap.add_argument("--tile-n", type=int, default=None)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace into DIR")
     args = ap.parse_args()
 
     backend = jax.default_backend()
@@ -155,9 +195,18 @@ def main() -> None:
     from ibu_tpu.ops.codec_pallas import DEFAULT_TILE_N
 
     tile_n = args.tile_n or DEFAULT_TILE_N
-    r = bench_roundtrip(
-        args.records, args.bc_len, args.umi_len, tile_n, args.iters, use_pallas
-    )
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            r = bench_roundtrip(
+                args.records, args.bc_len, args.umi_len, tile_n,
+                args.iters, use_pallas,
+            )
+        log(f"profiler trace written to {args.profile}")
+    else:
+        r = bench_roundtrip(
+            args.records, args.bc_len, args.umi_len, tile_n, args.iters,
+            use_pallas,
+        )
     log(
         f"pack+unpack roundtrip: {r['seconds_per_iter']*1e3:.2f} ms/iter, "
         f"{r['records_per_s']/1e9:.3f} G records/s, {r['gbps']:.1f} GB/s "

@@ -201,7 +201,6 @@ def config4_compressed_histogram(n: int, workdir: str) -> None:
     from ibu_tpu import Header, Reader, Writer
     from ibu_tpu.constructs.record import make_records
     from ibu_tpu.ops.stats import barcode_histogram_np
-    from ibu_tpu.ops.u64 import soa_from_records
     from ibu_tpu.parallel.device import sharded_barcode_histogram
 
     rng = np.random.default_rng(2)
@@ -229,8 +228,9 @@ def config4_compressed_histogram(n: int, workdir: str) -> None:
     for kind, path in streams.items():
         t0 = time.perf_counter()
         reader = Reader.from_path(path)
-        batches = (soa_from_records(b) for b in reader.batches())
-        got = sharded_barcode_histogram(batches, max_uniques_per_shard=4096)
+        got = sharded_barcode_histogram(
+            reader.batches(), max_uniques_per_shard=4096
+        )
         dt = time.perf_counter() - t0
         assert got == want, f"{kind} histogram mismatch"
         log(

@@ -12,6 +12,7 @@ from ibu_tpu.io.reader import (
     load_to_vec,
 )
 from ibu_tpu.io.writer import Writer
+from ibu_tpu.io import stream
 
 __all__ = [
     "BATCH_SIZE",

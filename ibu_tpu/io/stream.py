@@ -1,0 +1,97 @@
+"""Host→device streaming with prefetch.
+
+The device analogue of the reference's buffered refill loop
+(``/root/reference/src/io/reader.rs:218-242``): while the device crunches
+batch *k*, the host is already mapping/slicing batch *k+1* and its transfer
+is in flight. Because jax dispatch is asynchronous, "double buffering" here
+means keeping a bounded queue of placed-but-unconsumed device batches;
+depth 2 gives classic double buffering.
+
+Batches are shipped in **wire layout** (``(B, 6) uint32``, a zero-copy view
+of the mmap) and transposed to columns on device — the host never touches
+record bytes (see :func:`ibu_tpu.parallel.device.as_raw_u32`).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Iterator
+
+import numpy as np
+
+from ibu_tpu.io.mmap import BATCH_SIZE, MmapReader
+
+
+class DeviceStream:
+    """Prefetching iterator of device-placed record batches.
+
+    Yields ``(device_raw, valid_counts)`` pairs as produced by
+    :func:`ibu_tpu.parallel.device.shard_batch`, keeping up to ``prefetch``
+    batches in flight ahead of the consumer.
+    """
+
+    def __init__(
+        self,
+        batches: Iterator[np.ndarray],
+        mesh=None,
+        prefetch: int = 2,
+        placer=None,
+    ):
+        from ibu_tpu.parallel.device import default_placer, make_mesh
+
+        self._batches = iter(batches)
+        self._mesh = mesh or make_mesh()
+        self._prefetch = max(1, prefetch)
+        self._placer = placer or default_placer
+        self._queue: deque = deque()
+
+    def _fill(self) -> None:
+        from ibu_tpu.parallel.device import shard_batch
+
+        while len(self._queue) < self._prefetch:
+            try:
+                batch = next(self._batches)
+            except StopIteration:
+                return
+            self._queue.append(
+                shard_batch(batch, self._mesh, self._placer)
+            )
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        self._fill()
+        if not self._queue:
+            raise StopIteration
+        item = self._queue.popleft()
+        self._fill()  # keep the pipeline primed while the consumer computes
+        return item
+
+
+def stream_file(
+    path_or_reader: str | MmapReader,
+    mesh=None,
+    batch_records: int = 4 * BATCH_SIZE,
+    prefetch: int = 2,
+) -> DeviceStream:
+    """Stream an IBU file to the device mesh with prefetch.
+
+    ``batch_records`` is rounded to a mesh-size multiple so every placement
+    is host-copy-free (zero-copy mmap view → device DMA).
+    """
+    from ibu_tpu.parallel.device import make_mesh, record_batches_from_mmap
+
+    reader = (
+        path_or_reader
+        if isinstance(path_or_reader, MmapReader)
+        else MmapReader(path_or_reader)
+    )
+    mesh = mesh or make_mesh()
+    s = mesh.devices.size
+    batch_records = max(s, (batch_records // s) * s)
+    return DeviceStream(
+        record_batches_from_mmap(reader, batch_records),
+        mesh=mesh,
+        prefetch=prefetch,
+    )

@@ -118,6 +118,9 @@ def encode_planes(
         out_specs=pl.BlockSpec(
             (2, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
         interpret=interpret,
     )(planes)
     return out[:, :n]
@@ -148,6 +151,9 @@ def decode_planes(
         ],
         out_specs=pl.BlockSpec(
             (length, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
         ),
         interpret=interpret,
     )(pair)
@@ -210,6 +216,9 @@ def encode_records(
         out_specs=pl.BlockSpec(
             (6, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
         interpret=interpret,
     )(bc_planes, umi_planes, idx_pair)
     return out[:, :n]
@@ -265,6 +274,9 @@ def decode_records(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, tile_n), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
         ),
         interpret=interpret,
     )(soa)

@@ -62,26 +62,49 @@ def default_placer(arr: np.ndarray, mesh: Mesh, spec: P) -> jax.Array:
     return jax.device_put(arr, NamedSharding(mesh, spec))
 
 
-def shard_batch(
-    soa: np.ndarray, mesh: Mesh, placer=default_placer
-) -> tuple[jax.Array, jax.Array]:
-    """Pad a ``(6, B)`` host batch to an even device split and place it
-    sharded over the mesh. Returns ``(device_soa, valid_counts)`` where
-    ``valid_counts[s]`` is the number of real (non-padding) records on shard
-    ``s``. Padding records are all-zero.
+def as_raw_u32(batch: np.ndarray) -> np.ndarray:
+    """Normalize a host batch to the raw ``(B, 6) uint32`` wire view.
+
+    Accepts a structured record array (**zero-copy** — this is the exact
+    byte layout of the file/mmap, so streaming does no host transform at
+    all; the device transposes to columns inside the jitted step) or a
+    ``(6, B) uint32`` column matrix (transposed on host; test convenience).
     """
+    if batch.dtype.names is not None:  # structured records
+        return np.ascontiguousarray(batch).view(np.uint32).reshape(-1, 6)
+    if batch.ndim == 2 and batch.shape[0] == 6:
+        return np.ascontiguousarray(batch.T)
+    if batch.ndim == 2 and batch.shape[1] == 6:
+        return batch
+    raise ValueError(f"unrecognized batch layout {batch.shape} {batch.dtype}")
+
+
+def shard_batch(
+    batch: np.ndarray, mesh: Mesh, placer=default_placer
+) -> tuple[jax.Array, jax.Array]:
+    """Pad a host batch to an even device split and place it sharded over
+    the mesh record-major. Returns ``(device_raw, valid_counts)`` where
+    ``device_raw`` is ``(B_padded, 6) uint32`` sharded on its record axis
+    and ``valid_counts[s]`` is the number of real (non-padding) records on
+    shard ``s``. Padding records are all-zero. When ``B`` is already a
+    multiple of the mesh size (every streamer batch except a file's last),
+    placement is copy-free on the host.
+    """
+    raw = as_raw_u32(batch)
     s = mesh.devices.size
-    b = soa.shape[1]
+    b = raw.shape[0]
     per = _cdiv(max(b, 1), s)
     padded = per * s
     if padded != b:
-        soa = np.pad(soa, ((0, 0), (0, padded - b)))
+        raw = np.concatenate(
+            [raw, np.zeros((padded - b, 6), dtype=np.uint32)]
+        )
     valid = np.minimum(
         np.maximum(b - per * np.arange(s), 0), per
     ).astype(np.int32)
-    dev_soa = placer(soa, mesh, P(None, AXIS))
+    dev_raw = placer(raw, mesh, P(AXIS, None))
     dev_valid = placer(valid, mesh, P(AXIS))
-    return dev_soa, dev_valid
+    return dev_raw, dev_valid
 
 
 @dataclass(frozen=True)
@@ -106,11 +129,14 @@ class MapReduce:
     merge: Callable[[Any], Any] | None = None
 
     def compile_step(self, mesh: Mesh):
-        """Jitted per-batch step: ``(states, soa, valid) -> states`` where
-        ``states`` leaves are ``(S, ...)`` sharded over ``AXIS``, ``soa`` is
-        ``(6, B)`` sharded on its record axis, ``valid`` is ``(S,)``."""
+        """Jitted per-batch step: ``(states, raw, valid) -> states`` where
+        ``states`` leaves are ``(S, ...)`` sharded over ``AXIS``, ``raw`` is
+        ``(B, 6) uint32`` wire-layout records sharded on the record axis
+        (the raw→column transpose happens on device, fused into the step),
+        and ``valid`` is ``(S,)``."""
 
-        def local_step(state, soa_local, valid_local):
+        def local_step(state, raw_local, valid_local):
+            soa_local = raw_local.T  # (6, per) columns, device-side
             unsq = jax.tree.map(lambda x: x[0], state)
             new = self.update(unsq, soa_local, valid_local[0])
             return jax.tree.map(lambda x: x[None], new)
@@ -119,7 +145,7 @@ class MapReduce:
             shard_map(
                 local_step,
                 mesh=mesh,
-                in_specs=(P(AXIS), P(None, AXIS), P(AXIS)),
+                in_specs=(P(AXIS), P(AXIS, None), P(AXIS)),
                 out_specs=P(AXIS),
                 check_vma=False,
             )
@@ -143,7 +169,9 @@ class MapReduce:
             from jax.experimental import multihost_utils
 
             host_states = jax.tree.map(
-                lambda x: np.asarray(multihost_utils.process_allgather(x)),
+                lambda x: np.asarray(
+                    multihost_utils.process_allgather(x, tiled=True)
+                ),
                 states,
             )
         else:
@@ -158,15 +186,26 @@ class MapReduce:
         mesh: Mesh | None = None,
         placer=default_placer,
     ) -> Any:
-        """Fold ``update`` over ``(6, B)`` host batches, sharded on ``mesh``
-        (single-process path; multi-host drives :meth:`compile_step`
-        directly — see :mod:`ibu_tpu.parallel.multihost`)."""
+        """Fold ``update`` over host batches (structured records or ``(6,B)``
+        columns), sharded on ``mesh`` (single-process path; multi-host
+        drives :meth:`compile_step` directly — see
+        :mod:`ibu_tpu.parallel.multihost`)."""
         mesh = mesh or make_mesh()
         step = self.compile_step(mesh)
         states = self.initial_states(mesh, placer)
         for batch in batches:
-            dev_soa, dev_valid = shard_batch(batch, mesh, placer)
-            states = step(states, dev_soa, dev_valid)
+            dev_raw, dev_valid = shard_batch(batch, mesh, placer)
+            states = step(states, dev_raw, dev_valid)
+        return self.finalize(states)
+
+    def run_placed(self, placed: Iterator, mesh: Mesh | None = None) -> Any:
+        """Fold ``update`` over already-placed ``(device_raw, valid)`` pairs
+        (e.g. a prefetching :class:`ibu_tpu.io.stream.DeviceStream`)."""
+        mesh = mesh or make_mesh()
+        step = self.compile_step(mesh)
+        states = self.initial_states(mesh)
+        for dev_raw, dev_valid in placed:
+            states = step(states, dev_raw, dev_valid)
         return self.finalize(states)
 
 
@@ -210,16 +249,30 @@ def finalize_stats(merged) -> dict:
     }
 
 
-def soa_batches_from_mmap(
+def record_batches_from_mmap(
     reader: MmapReader, batch_records: int = 4 * BATCH_SIZE
 ) -> Iterator[np.ndarray]:
-    """Stream a mapped file as ``(6, B)`` column batches (host transpose)."""
+    """Stream a mapped file as structured record batches — **zero-copy**
+    views straight off the mapping (the engine ships them to the device in
+    wire layout and transposes there)."""
     n = reader.len()
     start = 0
     while start < n:
         end = min(start + batch_records, n)
-        yield soa_from_records(np.asarray(reader.slice(start, end)))
+        yield reader.slice(start, end)
         start = end
+
+
+def soa_batches_from_mmap(
+    reader: MmapReader, batch_records: int = 4 * BATCH_SIZE
+) -> Iterator[np.ndarray]:
+    """Stream a mapped file as ``(6, B)`` column batches (host transpose).
+
+    Prefer :func:`record_batches_from_mmap` — this variant pays a host
+    transpose per batch and exists for callers that want host-side columns.
+    """
+    for batch in record_batches_from_mmap(reader, batch_records):
+        yield soa_from_records(np.asarray(batch))
 
 
 def stream_file_stats(
@@ -231,10 +284,14 @@ def stream_file_stats(
 
     The device equivalent of the reference's flagship benchmark
     (``examples/parallel.rs:38-105``): shards process record batches in
-    parallel and partial statistics merge at the end.
+    parallel and partial statistics merge at the end. Batches are sized to
+    a mesh-size multiple so every placement is host-copy-free.
     """
-    merged = STATS_MAP_REDUCE.run(
-        soa_batches_from_mmap(reader, batch_records), mesh=mesh
+    from ibu_tpu.io.stream import stream_file
+
+    mesh = mesh or make_mesh()
+    merged = STATS_MAP_REDUCE.run_placed(
+        stream_file(reader, mesh=mesh, batch_records=batch_records), mesh=mesh
     )
     return finalize_stats(merged)
 
@@ -250,8 +307,9 @@ def sharded_stats(soa: np.ndarray, mesh: Mesh | None = None) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _masked_histogram(soa, n_valid, max_uniques: int):
+def _masked_histogram(raw, n_valid, max_uniques: int):
     """Per-shard histogram with padding masked via sort-carried weights."""
+    soa = raw.T
     bc_lo, bc_hi = soa[0], soa[1]
     n = bc_lo.shape[0]
     w = (jnp.arange(n, dtype=jnp.int32) < n_valid).astype(jnp.uint32)
@@ -288,7 +346,7 @@ def sharded_barcode_histogram(
                 _masked_histogram, max_uniques=max_uniques_per_shard
             ),
             mesh=mesh,
-            in_specs=(P(None, AXIS), P(AXIS)),
+            in_specs=(P(AXIS, None), P(AXIS)),
             out_specs=P(AXIS),
             check_vma=False,
         )

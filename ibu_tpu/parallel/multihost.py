@@ -65,16 +65,25 @@ def local_record_range(total_records: int) -> tuple[int, int]:
     return bounds[jax.process_index()]
 
 
-def local_soa_batches(
+def local_record_batches(
     reader: MmapReader, batch_records: int = 4 * BATCH_SIZE
 ) -> Iterator[np.ndarray]:
-    """Stream only this process's shard of the file as ``(6, B)`` batches."""
+    """Stream only this process's shard of the file as structured record
+    batches (zero-copy mmap views)."""
     start, end = local_record_range(reader.len())
     pos = start
     while pos < end:
         stop = min(pos + batch_records, end)
-        yield soa_from_records(np.asarray(reader.slice(pos, stop)))
+        yield reader.slice(pos, stop)
         pos = stop
+
+
+def local_soa_batches(
+    reader: MmapReader, batch_records: int = 4 * BATCH_SIZE
+) -> Iterator[np.ndarray]:
+    """Column-matrix variant of :func:`local_record_batches` (host transpose)."""
+    for batch in local_record_batches(reader, batch_records):
+        yield soa_from_records(np.asarray(batch))
 
 
 def process_local_placer(local: np.ndarray, mesh: Mesh, spec: P) -> jax.Array:
@@ -101,7 +110,9 @@ def multihost_file_stats(
     engine = STATS_MAP_REDUCE
 
     if jax.process_count() == 1:
-        merged = engine.run(local_soa_batches(reader, batch_records), mesh=mesh)
+        merged = engine.run(
+            local_record_batches(reader, batch_records), mesh=mesh
+        )
         return finalize_stats(merged)
 
     from jax.experimental import multihost_utils
@@ -129,18 +140,24 @@ def multihost_file_stats(
     for _ in range(rounds):
         stop = min(pos + local_cols, end)
         if stop > pos:
-            blk = soa_from_records(np.asarray(reader.slice(pos, stop)))
+            blk = (
+                np.ascontiguousarray(reader.slice(pos, stop))
+                .view(np.uint32)
+                .reshape(-1, 6)
+            )
         else:
-            blk = np.zeros((6, 0), dtype=np.uint32)
-        b_local = blk.shape[1]
+            blk = np.zeros((0, 6), dtype=np.uint32)
+        b_local = blk.shape[0]
         pos = stop
         if b_local < local_cols:
-            blk = np.pad(blk, ((0, 0), (0, local_cols - b_local)))
+            blk = np.concatenate(
+                [blk, np.zeros((local_cols - b_local, 6), dtype=np.uint32)]
+            )
         valid_local = np.minimum(
             np.maximum(b_local - per_dev * np.arange(s_local), 0), per_dev
         ).astype(np.int32)
-        g_soa = process_local_placer(blk, mesh, P(None, AXIS))
+        g_raw = process_local_placer(blk, mesh, P(AXIS, None))
         g_valid = process_local_placer(valid_local, mesh, P(AXIS))
-        states = step(states, g_soa, g_valid)
+        states = step(states, g_raw, g_valid)
 
     return finalize_stats(engine.finalize(states))

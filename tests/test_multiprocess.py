@@ -1,0 +1,71 @@
+"""True multi-process multihost test: a 2-process jax.distributed CPU
+cluster (Gloo collectives), each process with 4 virtual devices, running
+``multihost_file_stats`` over a shared file — the single-machine stand-in
+for a 2-host pod slice (SURVEY.md §4's multi-host test strategy)."""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from ibu_tpu import Header, Writer
+from ibu_tpu.constructs.record import make_records
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = textwrap.dedent(
+    """
+    import os, sys
+    rank, port, path = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        f"127.0.0.1:{{port}}", num_processes=2, process_id=rank
+    )
+    from ibu_tpu.parallel.multihost import multihost_file_stats
+    stats = multihost_file_stats(path, batch_records=8192)
+    print("STATS", stats["count"], stats["barcode_sum"], stats["umi_sum"],
+          stats["index_sum"])
+    """
+).format(repo=REPO)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_multihost_stats(tmp_path):
+    n = 100_001
+    i = np.arange(n, dtype=np.uint64)
+    path = str(tmp_path / "mh.ibu")
+    with Writer.from_path(path, Header.new(16, 12)) as w:
+        w.write_batch(make_records(i, i * np.uint64(2), i * np.uint64(3)))
+
+    worker_py = tmp_path / "worker.py"
+    worker_py.write_text(WORKER)
+    port = str(_free_port())
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker_py), str(r), port, path],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for r in range(2)
+    ]
+    outs = [p.communicate(timeout=150) for p in procs]
+    s = n * (n - 1) // 2
+    want = f"STATS {n} {s} {2*s} {3*s}"
+    for r, (out, err) in enumerate(outs):
+        assert procs[r].returncode == 0, f"rank {r} failed:\n{err[-3000:]}"
+        assert want in out, f"rank {r} stats mismatch:\n{out}\n{err[-1500:]}"

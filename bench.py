@@ -122,50 +122,72 @@ def bench_roundtrip(
         np.asarray(idx_back[0, :1024]), np.arange(1024, dtype=np.uint32)
     )
 
-    # Timed loop with an iteration-to-iteration data dependency. A chain is
-    # mandatory here: remote/experimental backends have been observed to
-    # memoize or overlap repeated identical executions, making independent
-    # same-input loops report physically impossible throughput (>10 TB/s).
-    # Each iteration perturbs the barcode input with a runtime value derived
-    # from the previous decode, so no execution can be elided or reordered.
-    @jax.jit
-    def chained(bc, umi, idx, carry):
-        # perturb the smallest input stream (the index pair, 8 B/record) so
-        # the chain costs the least extra bandwidth while still forcing a
-        # true dependency on the previous iteration's output
-        idx_in = idx ^ carry
-        if use_pallas:
-            soa = encode_records(bc, umi, idx_in, tile_n=tile_n)
-            bc_out, umi_out, idx_out = decode_records(
-                soa, bc_len, umi_len, tile_n=tile_n
-            )
-        else:
-            from ibu_tpu.ops.codec import lax_decode_planes, lax_encode_planes
+    # Timing methodology: the iteration loop lives INSIDE a single XLA
+    # execution (lax.fori_loop with a data-dependency carry), and the
+    # per-iteration cost is the SLOPE between two loop counts. Rationale:
+    # remote/experimental backends have been observed to memoize or overlap
+    # repeated identical host-side executions, making naive same-input
+    # loops report physically impossible throughput (>10 TB/s). Inside one
+    # execution the device must run every iteration sequentially (the carry
+    # perturbs the index stream, so no iteration is dead code), and the
+    # two-point slope cancels dispatch/transfer constants.
+    #
+    # Scope note: this methodology is sound for the Pallas path (the fused
+    # kernels are opaque to XLA and every call depends on the carry). The
+    # lax fallback path lets XLA hoist the loop-invariant barcode/UMI
+    # encodes, so CPU-mode numbers are smoke-test-only, not a measurement.
+    def roundtrip_k(k: int):
+        @jax.jit
+        def run(bc, umi, idx):
+            def body(_, carry):
+                idx_in = idx ^ carry
+                if use_pallas:
+                    soa = encode_records(bc, umi, idx_in, tile_n=tile_n)
+                    bc_out, umi_out, idx_out = decode_records(
+                        soa, bc_len, umi_len, tile_n=tile_n
+                    )
+                else:
+                    from ibu_tpu.ops.codec import (
+                        lax_decode_planes,
+                        lax_encode_planes,
+                    )
 
-            soa = jnp.concatenate(
-                [lax_encode_planes(bc), lax_encode_planes(umi), idx_in]
-            )
-            bc_out = lax_decode_planes(soa[0:2], bc_len)
-            umi_out = lax_decode_planes(soa[2:4], umi_len)
-            idx_out = soa[4:6]
-        # evolving carry consuming every output, so nothing is dead code;
-        # never revisits the same (input, carry) pair
-        return (
-            carry
-            + idx_out[0, 1]
-            + bc_out[0, 0].astype(jnp.uint32)
-            + umi_out[0, 0].astype(jnp.uint32)
-            + jnp.uint32(1)
-        ).astype(jnp.uint32)
+                    soa = jnp.concatenate(
+                        [lax_encode_planes(bc), lax_encode_planes(umi), idx_in]
+                    )
+                    bc_out = lax_decode_planes(soa[0:2], bc_len)
+                    umi_out = lax_decode_planes(soa[2:4], umi_len)
+                    idx_out = soa[4:6]
+                return (
+                    carry
+                    + idx_out[0, 1]
+                    + bc_out[0, 0].astype(jnp.uint32)
+                    + umi_out[0, 0].astype(jnp.uint32)
+                    + jnp.uint32(1)
+                ).astype(jnp.uint32)
 
-    carry = jnp.uint32(0)
-    carry = chained(bc, umi, idx, carry)  # compile
-    jax.block_until_ready(carry)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        carry = chained(bc, umi, idx, carry)
-    jax.block_until_ready(carry)
-    dt = (time.perf_counter() - t0) / iters
+            return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+        return run
+
+    k_lo, k_hi = max(2, iters // 4), iters
+    run_lo, run_hi = roundtrip_k(k_lo), roundtrip_k(k_hi)
+    jax.block_until_ready((run_lo(bc, umi, idx), run_hi(bc, umi, idx)))
+
+    def best_of(run, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(bc, umi, idx))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = best_of(run_lo), best_of(run_hi)
+    dt = (t_hi - t_lo) / (k_hi - k_lo)
+    log(
+        f"loop timing: k={k_lo} -> {t_lo*1e3:.1f} ms, k={k_hi} -> "
+        f"{t_hi*1e3:.1f} ms, slope {dt*1e3:.3f} ms/iter"
+    )
 
     bytes_per_record = 2 * (bc_len + umi_len + 8 + 24)
     gbps = n * bytes_per_record / dt / 1e9

@@ -170,7 +170,8 @@ def bench_roundtrip(
 
         return run
 
-    k_lo, k_hi = max(2, iters // 4), iters
+    k_lo = max(2, iters // 4)
+    k_hi = max(iters, k_lo + 2)
     run_lo, run_hi = roundtrip_k(k_lo), roundtrip_k(k_hi)
     jax.block_until_ready((run_lo(bc, umi, idx), run_hi(bc, umi, idx)))
 

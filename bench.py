@@ -185,6 +185,8 @@ def bench_roundtrip(
 
     t_lo, t_hi = best_of(run_lo), best_of(run_hi)
     dt = (t_hi - t_lo) / (k_hi - k_lo)
+    if dt <= 0:  # timing noise exceeded the slope (tiny smoke-test sizes)
+        dt = t_hi / k_hi
     log(
         f"loop timing: k={k_lo} -> {t_lo*1e3:.1f} ms, k={k_hi} -> "
         f"{t_hi*1e3:.1f} ms, slope {dt*1e3:.3f} ms/iter"

@@ -140,9 +140,11 @@ def bench_roundtrip(
         @jax.jit
         def run(bc, umi, idx):
             def body(_, carry):
-                idx_in = idx ^ carry
                 if use_pallas:
-                    soa = encode_records(bc, umi, idx_in, tile_n=tile_n)
+                    # carry enters as an in-kernel SMEM salt: zero extra
+                    # HBM traffic, so reported bytes == actual bytes
+                    soa = encode_records(bc, umi, idx, tile_n=tile_n,
+                                         salt=carry)
                     bc_out, umi_out, idx_out = decode_records(
                         soa, bc_len, umi_len, tile_n=tile_n
                     )
@@ -153,7 +155,8 @@ def bench_roundtrip(
                     )
 
                     soa = jnp.concatenate(
-                        [lax_encode_planes(bc), lax_encode_planes(umi), idx_in]
+                        [lax_encode_planes(bc), lax_encode_planes(umi),
+                         idx ^ carry]
                     )
                     bc_out = lax_decode_planes(soa[0:2], bc_len)
                     umi_out = lax_decode_planes(soa[2:4], umi_len)

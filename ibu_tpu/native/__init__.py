@@ -10,6 +10,7 @@ from ibu_tpu.native.bindings import (
     load_error,
     pack_2bit,
     read_records,
+    sort_file,
     sort_records,
     unpack_2bit,
     write_file,
@@ -22,6 +23,7 @@ __all__ = [
     "load_error",
     "pack_2bit",
     "read_records",
+    "sort_file",
     "sort_records",
     "unpack_2bit",
     "write_file",

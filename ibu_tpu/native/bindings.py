@@ -54,6 +54,10 @@ def _load() -> ctypes.CDLL | None:
     lib.ibu_unpack_2bit.restype = ctypes.c_int
     lib.ibu_sort_records.argtypes = [u8p, ctypes.c_uint64]
     lib.ibu_sort_records.restype = ctypes.c_int
+    lib.ibu_sort_file.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int,
+    ]
+    lib.ibu_sort_file.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -164,6 +168,31 @@ def unpack_2bit(words: np.ndarray, length: int) -> np.ndarray:
         "unpack_2bit",
     )
     return out
+
+
+def sort_file(
+    in_path: str,
+    out_path: str,
+    chunk_records: int = 0,
+    nthreads: int = 0,
+) -> None:
+    """Out-of-core external merge sort of a whole IBU file.
+
+    Sorts ``in_path`` (which may exceed RAM) into ``out_path`` with the
+    header's sorted flag set: chunked parallel in-memory sorts spill
+    headerless runs, then a k-way merge streams the result.
+    ``chunk_records=0`` → ~32 MB chunks; ``nthreads=0`` → all cores.
+    """
+    lib = _load()
+    assert lib is not None
+    rc = lib.ibu_sort_file(
+        in_path.encode(), out_path.encode(), chunk_records, nthreads
+    )
+    if rc == -22:
+        from ibu_tpu.errors import InvalidMapSize
+
+        raise InvalidMapSize()
+    _check(rc, "sort_file")
 
 
 def sort_records(records: np.ndarray) -> np.ndarray:

@@ -15,7 +15,10 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <mutex>
+#include <string>
 #include <thread>
+#include <utility>
 #include <vector>
 
 #include <fcntl.h>
@@ -180,14 +183,208 @@ int ibu_unpack_2bit(const uint64_t* words, uint64_t n, uint32_t L,
 // record sort (lexicographic barcode → umi → index; record.rs:29-32)
 // ---------------------------------------------------------------------------
 
+static bool record_less(const IbuRecord& a, const IbuRecord& b) {
+  if (a.barcode != b.barcode) return a.barcode < b.barcode;
+  if (a.umi != b.umi) return a.umi < b.umi;
+  return a.index < b.index;
+}
+
 int ibu_sort_records(uint8_t* records_bytes, uint64_t n_records) {
   IbuRecord* recs = reinterpret_cast<IbuRecord*>(records_bytes);
-  std::sort(recs, recs + n_records, [](const IbuRecord& a, const IbuRecord& b) {
-    if (a.barcode != b.barcode) return a.barcode < b.barcode;
-    if (a.umi != b.umi) return a.umi < b.umi;
-    return a.index < b.index;
-  });
+  std::sort(recs, recs + n_records, record_less);
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// out-of-core external merge sort: whole-file sorted rewrite
+// ---------------------------------------------------------------------------
+//
+// Sorts an IBU file that may be larger than memory: chunked in-memory sorts
+// (one worker thread per in-flight chunk) spill headerless runs next to the
+// output, then a k-way priority-queue merge streams the sorted result with
+// the header's sorted flag set (bit 0, header layout per
+// /root/reference/src/constructs/header.rs:17-24).
+
+namespace {
+
+struct RunReader {
+  int fd = -1;
+  std::vector<IbuRecord> buf;
+  size_t pos = 0, len = 0;
+  uint64_t remaining = 0;
+
+  bool refill() {
+    if (remaining == 0) return false;
+    uint64_t want = std::min<uint64_t>(remaining, buf.size());
+    uint64_t bytes = want * sizeof(IbuRecord);
+    uint64_t got = 0;
+    uint8_t* dst = reinterpret_cast<uint8_t*>(buf.data());
+    while (got < bytes) {
+      ssize_t r = ::read(fd, dst + got, bytes - got);
+      if (r <= 0) return false;
+      got += static_cast<uint64_t>(r);
+    }
+    len = want;
+    pos = 0;
+    remaining -= want;
+    return true;
+  }
+};
+
+}  // namespace
+
+int ibu_sort_file(const char* in_path, const char* out_path,
+                  uint64_t chunk_records, int nthreads) {
+  if (chunk_records == 0) chunk_records = 32ull * 1024 * 1024 / 24;
+  int in_fd = ::open(in_path, O_RDONLY);
+  if (in_fd < 0) return -errno;
+  struct stat st;
+  if (::fstat(in_fd, &st) != 0) { int e = errno; ::close(in_fd); return -e; }
+  uint64_t size = static_cast<uint64_t>(st.st_size);
+  if (size < 32 || (size - 32) % RECORD_SIZE != 0) {
+    ::close(in_fd);
+    return -EINVAL;
+  }
+  uint8_t header[32];
+  if (::read(in_fd, header, 32) != 32) { ::close(in_fd); return -EIO; }
+  uint64_t n_records = (size - 32) / RECORD_SIZE;
+
+  // phase 1: sorted runs. Chunks are read sequentially; sorting+spilling of
+  // up to `nthreads` chunks proceeds concurrently.
+  if (nthreads <= 0) nthreads = std::thread::hardware_concurrency();
+  nthreads = std::max(1, std::min(nthreads, 64));
+  uint64_t n_runs = (n_records + chunk_records - 1) / chunk_records;
+  if (n_runs == 0) n_runs = 1;
+  std::vector<std::string> run_paths(n_runs);
+  std::vector<uint64_t> run_sizes(n_runs, 0);
+  std::atomic<int> failure(0);
+  {
+    std::vector<std::thread> workers;
+    std::atomic<uint64_t> next_run(0);
+    std::mutex read_mu;
+    for (int t = 0; t < nthreads; ++t) {
+      workers.emplace_back([&]() {
+        std::vector<IbuRecord> chunk;
+        for (;;) {
+          uint64_t r = next_run.fetch_add(1);
+          if (r >= n_runs || failure.load()) return;
+          uint64_t start = r * chunk_records;
+          uint64_t count = std::min(chunk_records, n_records - start);
+          run_sizes[r] = count;
+          chunk.resize(count);
+          {
+            // pread is thread-safe at independent offsets; no lock needed
+            uint64_t bytes = count * sizeof(IbuRecord);
+            uint64_t got = 0;
+            uint8_t* dst = reinterpret_cast<uint8_t*>(chunk.data());
+            while (got < bytes) {
+              ssize_t rd = ::pread(in_fd, dst + got, bytes - got,
+                                   static_cast<off_t>(32 + start * 24 + got));
+              if (rd <= 0) { failure.store(EIO); return; }
+              got += static_cast<uint64_t>(rd);
+            }
+          }
+          std::sort(chunk.begin(), chunk.end(), record_less);
+          run_paths[r] = std::string(out_path) + ".run" + std::to_string(r);
+          int rc = ibu_write_file(
+              run_paths[r].c_str(), nullptr,
+              reinterpret_cast<const uint8_t*>(chunk.data()),
+              count * sizeof(IbuRecord));
+          if (rc != 0) { failure.store(-rc); return; }
+        }
+      });
+    }
+    for (auto& w : workers) w.join();
+  }
+  ::close(in_fd);
+  if (failure.load()) {
+    for (auto& p : run_paths) if (!p.empty()) ::unlink(p.c_str());
+    return -failure.load();
+  }
+
+  // phase 2: k-way merge
+  std::vector<RunReader> runs(n_runs);
+  for (uint64_t r = 0; r < n_runs; ++r) {
+    runs[r].fd = ::open(run_paths[r].c_str(), O_RDONLY);
+    if (runs[r].fd < 0) {
+      int e = errno;
+      for (auto& rr : runs) if (rr.fd >= 0) ::close(rr.fd);
+      for (auto& p : run_paths) ::unlink(p.c_str());
+      return -e;
+    }
+    runs[r].buf.resize(1 << 16);  // 64K records (1.5 MB) per run buffer
+    runs[r].remaining = run_sizes[r];
+    runs[r].refill();
+  }
+
+  int out_fd = ::open(out_path, O_WRONLY | O_CREAT | O_TRUNC, 0644);
+  if (out_fd < 0) {
+    int e = errno;
+    for (auto& rr : runs) ::close(rr.fd);
+    for (auto& p : run_paths) ::unlink(p.c_str());
+    return -e;
+  }
+  // header with sorted flag (bit 0 of the u64 at offset 16)
+  header[16] |= 1;
+  if (::write(out_fd, header, 32) != 32) {
+    ::close(out_fd);
+    for (auto& rr : runs) ::close(rr.fd);
+    for (auto& p : run_paths) ::unlink(p.c_str());
+    return -EIO;
+  }
+
+  using HeapItem = std::pair<IbuRecord, uint64_t>;  // (record, run id)
+  auto heap_greater = [](const HeapItem& a, const HeapItem& b) {
+    return record_less(b.first, a.first);
+  };
+  std::vector<HeapItem> heap;
+  for (uint64_t r = 0; r < n_runs; ++r) {
+    if (runs[r].len > 0) heap.push_back({runs[r].buf[0], r});
+  }
+  std::make_heap(heap.begin(), heap.end(), heap_greater);
+  for (auto& rr : runs) rr.pos = 1;
+
+  std::vector<IbuRecord> out_buf;
+  out_buf.reserve(1 << 16);
+  int rc = 0;
+  while (!heap.empty()) {
+    std::pop_heap(heap.begin(), heap.end(), heap_greater);
+    HeapItem item = heap.back();
+    heap.pop_back();
+    out_buf.push_back(item.first);
+    if (out_buf.size() == out_buf.capacity()) {
+      uint64_t bytes = out_buf.size() * sizeof(IbuRecord);
+      uint64_t off = 0;
+      const uint8_t* src = reinterpret_cast<const uint8_t*>(out_buf.data());
+      while (off < bytes) {
+        ssize_t w = ::write(out_fd, src + off, bytes - off);
+        if (w < 0) { rc = -errno; goto done; }
+        off += static_cast<uint64_t>(w);
+      }
+      out_buf.clear();
+    }
+    RunReader& rr = runs[item.second];
+    if (rr.pos >= rr.len) {
+      if (!rr.refill()) continue;  // run exhausted
+    }
+    heap.push_back({rr.buf[rr.pos++], item.second});
+    std::push_heap(heap.begin(), heap.end(), heap_greater);
+  }
+  if (!out_buf.empty()) {
+    uint64_t bytes = out_buf.size() * sizeof(IbuRecord);
+    uint64_t off = 0;
+    const uint8_t* src = reinterpret_cast<const uint8_t*>(out_buf.data());
+    while (off < bytes) {
+      ssize_t w = ::write(out_fd, src + off, bytes - off);
+      if (w < 0) { rc = -errno; break; }
+      off += static_cast<uint64_t>(w);
+    }
+  }
+done:
+  ::close(out_fd);
+  for (auto& rr : runs) ::close(rr.fd);
+  for (auto& p : run_paths) ::unlink(p.c_str());
+  return rc;
 }
 
 }  // extern "C"

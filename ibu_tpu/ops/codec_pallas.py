@@ -166,13 +166,14 @@ def decode_planes(
 
 
 def _encode_records_kernel(
-    bc_ref, umi_ref, idx_ref, out_ref, *, bc_len: int, umi_len: int
+    salt_ref, bc_ref, umi_ref, idx_ref, out_ref, *, bc_len: int, umi_len: int
 ):
     bc = _encode_tile(_ascii_to_codes(bc_ref[:]), min(bc_len, 16),
                       max(bc_len - 16, 0))
     umi = _encode_tile(_ascii_to_codes(umi_ref[:]), min(umi_len, 16),
                        max(umi_len - 16, 0))
-    out_ref[:] = jnp.concatenate([bc, umi, idx_ref[:]], axis=0)
+    idx = idx_ref[:] ^ salt_ref[0]
+    out_ref[:] = jnp.concatenate([bc, umi, idx], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
@@ -182,12 +183,18 @@ def encode_records(
     idx_pair: jax.Array,
     tile_n: int = DEFAULT_TILE_N,
     interpret: bool = False,
+    salt: jax.Array | None = None,
 ) -> jax.Array:
     """Fused record assembly: one pass from ASCII planes + index pair to the
     ``(6, N) uint32`` device column matrix (rows per
     :mod:`ibu_tpu.ops.u64`). This is the device-side equivalent of the
     reference's write path ``Record::new`` + ``write_batch``
     (``writer.rs:315-351``) with the bitnuc codec fused in.
+
+    ``salt`` (scalar uint32, default 0) is XOR-folded into the index stream
+    inside the kernel at zero extra HBM traffic. Benchmarks use it to chain
+    iterations without perturbing any input buffer; production callers
+    leave it unset.
     """
     bc_len, n = bc_planes.shape
     umi_len = umi_planes.shape[0]
@@ -199,6 +206,10 @@ def encode_records(
     umi_planes, _ = _pad_lanes(umi_planes, tile_n)
     idx_pair, _ = _pad_lanes(idx_pair, tile_n)
     npad = bc_planes.shape[1]
+    if salt is None:
+        salt_arr = jnp.zeros((1,), jnp.uint32)
+    else:
+        salt_arr = jnp.asarray(salt, jnp.uint32).reshape((1,))
     out = pl.pallas_call(
         functools.partial(
             _encode_records_kernel, bc_len=bc_len, umi_len=umi_len
@@ -206,6 +217,7 @@ def encode_records(
         out_shape=jax.ShapeDtypeStruct((6, npad), jnp.uint32),
         grid=(npad // tile_n,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((bc_len, tile_n), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((umi_len, tile_n), lambda j: (0, j),
@@ -220,7 +232,7 @@ def encode_records(
             dimension_semantics=("parallel",)
         ),
         interpret=interpret,
-    )(bc_planes, umi_planes, idx_pair)
+    )(salt_arr, bc_planes, umi_planes, idx_pair)
     return out[:, :n]
 
 

@@ -100,6 +100,46 @@ class TestNativeEngine:
         got = native.checksum_parallel(path, 3, 1)
         assert got[0] == (3 * 0xFFFFFFFFFFFFFFFF) & 0xFFFFFFFFFFFFFFFF
 
+    def test_sort_file_external_merge(self, tmp_path):
+        """Out-of-core sort: multiple runs, oracle equality, sorted flag."""
+        rng = np.random.default_rng(3)
+        n = 100_000
+        recs = make_records(
+            rng.integers(0, 1 << 60, n, dtype=np.uint64),
+            rng.integers(0, 1 << 60, n, dtype=np.uint64),
+            np.arange(n, dtype=np.uint64),
+        )
+        src = str(tmp_path / "u.ibu")
+        dst = str(tmp_path / "s.ibu")
+        native.write_file(src, Header.new(16, 12).as_bytes(), recs)
+        native.sort_file(src, dst, chunk_records=10_000, nthreads=2)
+        from ibu_tpu import MmapReader
+
+        r = MmapReader(dst)
+        assert r.len() == n
+        assert r.header().sorted()
+        assert np.array_equal(np.asarray(r.records), sort_records(recs))
+        assert not list(tmp_path.glob("*.run*"))  # temp runs cleaned
+
+    def test_sort_file_empty(self, tmp_path):
+        src = str(tmp_path / "e.ibu")
+        dst = str(tmp_path / "es.ibu")
+        native.write_file(src, Header.new(4, 4).as_bytes(),
+                          make_records_arange(0))
+        native.sort_file(src, dst)
+        from ibu_tpu import MmapReader
+
+        r = MmapReader(dst)
+        assert r.len() == 0 and r.header().sorted()
+
+    def test_sort_file_invalid_size(self, tmp_path):
+        from ibu_tpu import InvalidMapSize
+
+        src = tmp_path / "bad.ibu"
+        src.write_bytes(b"\x00" * 40)  # 32 header + 8 ragged bytes
+        with pytest.raises(InvalidMapSize):
+            native.sort_file(str(src), str(tmp_path / "out.ibu"))
+
     def test_sort_matches_numpy(self):
         rng = np.random.default_rng(2)
         recs = make_records(

@@ -44,6 +44,18 @@ class Header:
 
     Construct with :meth:`new` for a valid header, or directly for tests that
     need invalid field values.
+
+    >>> header = Header.new(16, 12)
+    >>> (header.bc_len, header.umi_len, header.sorted())
+    (16, 12, False)
+    >>> header.set_sorted()
+    >>> header.sorted()
+    True
+    >>> header.validate()  # raises on invalid fields
+    >>> Header.from_bytes(header.as_bytes()) == header
+    True
+    >>> header.as_bytes()[:4]
+    b'IBU!'
     """
 
     magic: int = MAGIC

@@ -39,6 +39,14 @@ class Record:
     Ordering is lexicographic barcode → umi → index (ref ``record.rs:29-32``),
     provided via the comparison operators below (unsigned semantics — Python
     ints are unbounded so this is automatic).
+
+    >>> r = Record(barcode=0x1234, umi=0x5678, index=42)
+    >>> len(r.as_bytes())
+    24
+    >>> Record.from_bytes(r.as_bytes()) == r
+    True
+    >>> Record(1, 9, 9) < Record(2, 0, 0)  # barcode dominates
+    True
     """
 
     barcode: int = 0

@@ -107,7 +107,15 @@ def rows_to_seqs(rows: np.ndarray) -> list[str]:
 
 
 def encode_seqs(seqs: list[str], validate: bool = True) -> np.ndarray:
-    """Sequences → packed uint64 words (host API, ≤32 bases each)."""
+    """Sequences → packed uint64 words (host API, ≤32 bases each).
+
+    >>> encode_seqs(["A", "C", "G", "T"]).tolist()
+    [0, 1, 2, 3]
+    >>> encode_seqs(["ACGT"]).tolist()  # base i at bits 2i: 0+4+32+192
+    [228]
+    >>> encode_seqs(["acgt"]).tolist() == encode_seqs(["ACGT"]).tolist()
+    True
+    """
     rows = seqs_to_rows(seqs)
     if rows.shape[1] > 32:
         raise ValueError(f"sequence length {rows.shape[1]} exceeds 32 bases")
@@ -115,7 +123,12 @@ def encode_seqs(seqs: list[str], validate: bool = True) -> np.ndarray:
 
 
 def decode_seqs(words: np.ndarray, length: int) -> list[str]:
-    """Packed uint64 words → uppercase sequences of ``length`` bases."""
+    """Packed uint64 words → uppercase sequences of ``length`` bases.
+
+    >>> import numpy as np
+    >>> decode_seqs(np.array([228], dtype=np.uint64), 4)
+    ['ACGT']
+    """
     return rows_to_seqs(np_unpack(np.asarray(words, dtype=np.uint64), length))
 
 

@@ -1,0 +1,24 @@
+"""Executable docstring examples — the parity analogue of the reference's
+~30 rustdoc doctests (SURVEY.md §4)."""
+
+import doctest
+
+import pytest
+
+import ibu_tpu.constructs.header
+import ibu_tpu.constructs.record
+import ibu_tpu.ops.codec
+
+
+@pytest.mark.parametrize(
+    "module",
+    [
+        ibu_tpu.constructs.header,
+        ibu_tpu.constructs.record,
+        ibu_tpu.ops.codec,
+    ],
+)
+def test_module_doctests(module):
+    results = doctest.testmod(module, verbose=False)
+    assert results.failed == 0, f"{results.failed} doctest failures in {module}"
+    assert results.attempted > 0

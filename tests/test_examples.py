@@ -68,6 +68,15 @@ class TestParallelExample:
         assert p.stdout.count("checksum OK") == 2
 
 
+class TestFastqIngest:
+    def test_synthetic_roundtrip(self, tmp_path):
+        p = run([f"{REPO}/examples/fastq_ingest.py", "--reads", "20000",
+                 "--out", str(tmp_path / "f.ibu")], timeout=240)
+        assert p.returncode == 0, p.stderr + p.stdout
+        assert "verified: 20000 records" in p.stdout
+        assert "barcodes sorted: True" in p.stdout
+
+
 class TestBench:
     def test_bench_cpu_emits_json_line(self):
         p = run([f"{REPO}/bench.py", "--records", "65536", "--iters", "2"],

@@ -26,9 +26,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: Records per grid step. Swept on TPU v5e (bc16/umi12 fused roundtrip):
-#: 4096 → 220 GB/s, 8192 → 233 GB/s, 16384 → 234-252 GB/s, ≥32768 →
-#: VMEM overflow. 16384 balances pipeline depth against VMEM at L=32.
+#: Records per grid step. Swept on TPU v5e (bc16/umi12 fused roundtrip,
+#: slope-timed): 16384 → 405-445 GB/s; non-power-of-2 tiles collapse to
+#: ~232 GB/s (12288/20480) and ≥32768 overflows VMEM. 16384 = 128x128 —
+#: the record axis tiles exactly onto (sublane, lane) squares.
 DEFAULT_TILE_N = 16384
 
 

@@ -186,7 +186,8 @@ def config3_batch_decode(n: int, workdir: str) -> None:
     except InvalidMagicNumber:
         pass
     try:
-        list(Reader(io.BytesIO(data[:-7])))
+        for _ in Reader(io.BytesIO(data[:-7])).batches():
+            pass  # batch-drain; error fires on the final ragged refill
         raise AssertionError("truncation validation missed")
     except TruncatedRecord:
         pass

@@ -196,12 +196,19 @@ def sort_file(
 
 
 def sort_records(records: np.ndarray) -> np.ndarray:
-    """In-place lexicographic sort of a structured record array (returns it)."""
+    """Lexicographic sort of a structured record array; returns the sorted
+    array.
+
+    Sorts in place when the input is contiguous and writeable; otherwise
+    (read-only memmaps, strided views) a contiguous copy is sorted and
+    returned — the caller must use the return value either way.
+    """
     lib = _load()
     assert lib is not None
     if records.dtype != RECORD_DTYPE:
         raise ValueError(f"expected dtype {RECORD_DTYPE}")
-    records = np.ascontiguousarray(records)
+    if not (records.flags.c_contiguous and records.flags.writeable):
+        records = np.array(records)  # writable contiguous copy
     _check(
         lib.ibu_sort_records(
             _u8ptr(records.view(np.uint8).reshape(-1)), len(records)

@@ -213,21 +213,24 @@ struct RunReader {
   size_t pos = 0, len = 0;
   uint64_t remaining = 0;
 
-  bool refill() {
-    if (remaining == 0) return false;
+  // 1 = refilled, 0 = run exhausted (clean EOF), -1 = I/O error. The
+  // distinction matters: treating a read error as exhaustion would emit a
+  // truncated "sorted" file with success status.
+  int refill() {
+    if (remaining == 0) return 0;
     uint64_t want = std::min<uint64_t>(remaining, buf.size());
     uint64_t bytes = want * sizeof(IbuRecord);
     uint64_t got = 0;
     uint8_t* dst = reinterpret_cast<uint8_t*>(buf.data());
     while (got < bytes) {
       ssize_t r = ::read(fd, dst + got, bytes - got);
-      if (r <= 0) return false;
+      if (r <= 0) return -1;  // short run file or read error
       got += static_cast<uint64_t>(r);
     }
     len = want;
     pos = 0;
     remaining -= want;
-    return true;
+    return 1;
   }
 };
 
@@ -314,7 +317,11 @@ int ibu_sort_file(const char* in_path, const char* out_path,
     }
     runs[r].buf.resize(1 << 16);  // 64K records (1.5 MB) per run buffer
     runs[r].remaining = run_sizes[r];
-    runs[r].refill();
+    if (runs[r].refill() < 0) {
+      for (auto& rr : runs) if (rr.fd >= 0) ::close(rr.fd);
+      for (auto& p : run_paths) ::unlink(p.c_str());
+      return -EIO;
+    }
   }
 
   int out_fd = ::open(out_path, O_WRONLY | O_CREAT | O_TRUNC, 0644);
@@ -365,7 +372,9 @@ int ibu_sort_file(const char* in_path, const char* out_path,
     }
     RunReader& rr = runs[item.second];
     if (rr.pos >= rr.len) {
-      if (!rr.refill()) continue;  // run exhausted
+      int st = rr.refill();
+      if (st < 0) { rc = -EIO; goto done; }
+      if (st == 0) continue;  // run cleanly exhausted
     }
     heap.push_back({rr.buf[rr.pos++], item.second});
     std::push_heap(heap.begin(), heap.end(), heap_greater);

@@ -62,21 +62,32 @@ def default_placer(arr: np.ndarray, mesh: Mesh, spec: P) -> jax.Array:
     return jax.device_put(arr, NamedSharding(mesh, spec))
 
 
-def as_raw_u32(batch: np.ndarray) -> np.ndarray:
+def as_raw_u32(batch: np.ndarray, layout: str = "auto") -> np.ndarray:
     """Normalize a host batch to the raw ``(B, 6) uint32`` wire view.
 
     Accepts a structured record array (**zero-copy** — this is the exact
     byte layout of the file/mmap, so streaming does no host transform at
     all; the device transposes to columns inside the jitted step) or a
     ``(6, B) uint32`` column matrix (transposed on host; test convenience).
+
+    ``layout``: ``"auto"`` (structured → wire; else a leading dim of 6 is
+    read as columns — ambiguous only for a plain 6-record ``(6, 6)`` wire
+    batch, where callers must pass ``layout="wire"`` or, preferably, a
+    structured array), ``"wire"`` (``(B, 6)``), ``"columns"`` (``(6, B)``).
     """
     if batch.dtype.names is not None:  # structured records
         return np.ascontiguousarray(batch).view(np.uint32).reshape(-1, 6)
-    if batch.ndim == 2 and batch.shape[0] == 6:
-        return np.ascontiguousarray(batch.T)
-    if batch.ndim == 2 and batch.shape[1] == 6:
+    if batch.ndim != 2:
+        raise ValueError(f"unrecognized batch layout {batch.shape} {batch.dtype}")
+    if layout == "wire" or (layout == "auto" and batch.shape[0] != 6):
+        if batch.shape[1] != 6:
+            raise ValueError(f"wire batch must be (B, 6), got {batch.shape}")
         return batch
-    raise ValueError(f"unrecognized batch layout {batch.shape} {batch.dtype}")
+    if layout in ("auto", "columns"):
+        if batch.shape[0] != 6:
+            raise ValueError(f"column batch must be (6, B), got {batch.shape}")
+        return np.ascontiguousarray(batch.T)
+    raise ValueError(f"unknown layout {layout!r}")
 
 
 def shard_batch(
@@ -308,7 +319,11 @@ def sharded_stats(soa: np.ndarray, mesh: Mesh | None = None) -> dict:
 
 
 def _masked_histogram(raw, n_valid, max_uniques: int):
-    """Per-shard histogram with padding masked via sort-carried weights."""
+    """Per-shard histogram with padding masked via sort-carried weights.
+
+    Also returns the shard's true unique count so callers can detect
+    capacity overflow (segments beyond ``max_uniques`` would otherwise be
+    silently dropped by ``segment_sum``)."""
     soa = raw.T
     bc_lo, bc_hi = soa[0], soa[1]
     n = bc_lo.shape[0]
@@ -324,7 +339,8 @@ def _masked_histogram(raw, n_valid, max_uniques: int):
     counts = jax.ops.segment_sum(s_w, seg_ids, num_segments=max_uniques)
     unique_lo = jnp.zeros((max_uniques,), jnp.uint32).at[seg_ids].set(s_lo)
     unique_hi = jnp.zeros((max_uniques,), jnp.uint32).at[seg_ids].set(s_hi)
-    return unique_lo, unique_hi, counts
+    n_seen = (seg_ids[-1] + 1)[None] if n > 0 else jnp.zeros((1,), jnp.int32)
+    return unique_lo, unique_hi, counts, n_seen
 
 
 def sharded_barcode_histogram(
@@ -337,6 +353,10 @@ def sharded_barcode_histogram(
     Each shard histograms its local block on device; the sparse per-shard
     results merge in a host dict (barcode spaces are data-dependent, so the
     cross-shard union stays host-side by design).
+
+    Raises ``ValueError`` if any shard sees more than
+    ``max_uniques_per_shard`` distinct barcodes in one batch (counts would
+    otherwise be silently dropped) — raise the cap or shrink batches.
     """
     mesh = mesh or make_mesh()
 
@@ -355,9 +375,15 @@ def sharded_barcode_histogram(
     totals: dict[int, int] = {}
     for batch in batches:
         dev_soa, dev_valid = shard_batch(batch, mesh)
-        u_lo, u_hi, counts = jax.tree.map(
+        u_lo, u_hi, counts, n_seen = jax.tree.map(
             np.asarray, hist_fn(dev_soa, dev_valid)
         )
+        if int(n_seen.max()) > max_uniques_per_shard:
+            raise ValueError(
+                f"a shard saw {int(n_seen.max())} unique barcodes, over the "
+                f"max_uniques_per_shard={max_uniques_per_shard} capacity; "
+                "raise the cap or use smaller batches"
+            )
         s = mesh.devices.size
         per = u_lo.shape[0] // s
         for sh in range(s):

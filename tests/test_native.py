@@ -150,3 +150,30 @@ class TestNativeEngine:
         want = sort_records(recs)
         got = native.sort_records(recs.copy())
         assert np.array_equal(got, want)
+
+
+class TestReviewRegressions:
+    def test_sort_records_readonly_memmap(self, tmp_path):
+        """Read-only mmap input must not crash; returns a sorted copy."""
+        from ibu_tpu import MmapReader
+
+        recs = make_records(
+            np.array([3, 1, 2], dtype=np.uint64),
+            np.zeros(3, dtype=np.uint64),
+            np.zeros(3, dtype=np.uint64),
+        )
+        path = str(tmp_path / "ro.ibu")
+        native.write_file(path, Header.new(16, 12).as_bytes(), recs)
+        mm = MmapReader(path)
+        out = native.sort_records(mm.records)
+        assert out["barcode"].tolist() == [1, 2, 3]
+        assert mm.records["barcode"].tolist() == [3, 1, 2]  # source untouched
+
+    def test_sort_records_strided_view_returns_sorted_copy(self):
+        recs = make_records(
+            np.array([5, 9, 3, 9, 1, 9], dtype=np.uint64),
+            np.zeros(6, dtype=np.uint64),
+            np.zeros(6, dtype=np.uint64),
+        )
+        out = native.sort_records(recs[::2])
+        assert out["barcode"].tolist() == [1, 3, 5]

@@ -159,3 +159,23 @@ class TestMultihostSingleProcess:
         want = checksum_records_np(records)
         assert got["count"] == 30_000
         assert (got["barcode_sum"], got["umi_sum"], got["index_sum"]) == want
+
+
+class TestReviewRegressions:
+    def test_histogram_capacity_overflow_raises(self):
+        records = random_records(4096, seed=11)  # ~4096 unique barcodes
+        with pytest.raises(ValueError, match="unique barcodes"):
+            sharded_barcode_histogram(
+                iter([soa_from_records(records)]), max_uniques_per_shard=64
+            )
+
+    def test_as_raw_u32_wire_6x6(self):
+        """A 6-record wire batch needs the explicit layout tag."""
+        from ibu_tpu.parallel.device import as_raw_u32
+
+        records = make_records_arange(6)
+        raw = records.view(np.uint32).reshape(6, 6)
+        out = as_raw_u32(raw, layout="wire")
+        assert out is raw  # untouched, not transposed
+        cols = as_raw_u32(np.ascontiguousarray(raw.T), layout="columns")
+        assert np.array_equal(cols, raw)

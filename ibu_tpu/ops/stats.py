@@ -108,6 +108,20 @@ def checksum_records_np(records: np.ndarray) -> tuple[int, int, int]:
 # ---------------------------------------------------------------------------
 
 
+def _pad_pow2_max(soa: jax.Array) -> tuple[jax.Array, int]:
+    """Pad the record axis to the next power of two with all-max sentinel
+    records (which sort last in unsigned order, so slicing the head back
+    off is exact). Power-of-two sort shapes avoid a severe XLA sort
+    compile/runtime pathology observed at odd sizes (100k-record sorts
+    taking minutes vs ~1 s)."""
+    n = soa.shape[1]
+    npad = 1 << max(0, (n - 1).bit_length())
+    if npad != n:
+        pad = jnp.full((soa.shape[0], npad - n), 0xFFFFFFFF, dtype=soa.dtype)
+        soa = jnp.concatenate([soa, pad], axis=1)
+    return soa, n
+
+
 @jax.jit
 def sort_records_soa(soa: jax.Array) -> jax.Array:
     """Lexicographic (barcode, umi, index) sort of a ``(6, N)`` column matrix
@@ -115,13 +129,17 @@ def sort_records_soa(soa: jax.Array) -> jax.Array:
     (``record.rs:29-32``). Unsigned u64 order falls out of sorting the hi
     word before the lo word of each field.
     """
+    soa, n = _pad_pow2_max(soa)
     bc_lo, bc_hi, umi_lo, umi_hi, idx_lo, idx_hi = (soa[i] for i in range(6))
     sorted_ops = jax.lax.sort(
         (bc_hi, bc_lo, umi_hi, umi_lo, idx_hi, idx_lo),
         num_keys=6,
     )
     s_bc_hi, s_bc_lo, s_umi_hi, s_umi_lo, s_idx_hi, s_idx_lo = sorted_ops
-    return jnp.stack([s_bc_lo, s_bc_hi, s_umi_lo, s_umi_hi, s_idx_lo, s_idx_hi])
+    out = jnp.stack(
+        [s_bc_lo, s_bc_hi, s_umi_lo, s_umi_hi, s_idx_lo, s_idx_hi]
+    )
+    return out[:, :n]
 
 
 # ---------------------------------------------------------------------------
@@ -141,23 +159,28 @@ def barcode_histogram(
     scalar number of valid entries. Sorts on device, then segments runs —
     replacing the reference pattern of a host hash map per thread.
     """
+    n = soa.shape[1]
+    npad = 1 << max(0, (n - 1).bit_length())  # pow2 sort shapes (see above)
     bc_lo, bc_hi = soa[0], soa[1]
-    s_hi, s_lo = jax.lax.sort((bc_hi, bc_lo), num_keys=2)
+    w = jnp.ones((n,), jnp.uint32)
+    if npad != n:
+        padk = jnp.full((npad - n,), 0xFFFFFFFF, jnp.uint32)
+        bc_lo = jnp.concatenate([bc_lo, padk])
+        bc_hi = jnp.concatenate([bc_hi, padk])
+        w = jnp.concatenate([w, jnp.zeros((npad - n,), jnp.uint32)])
+    s_hi, s_lo, s_w = jax.lax.sort((bc_hi, bc_lo, w), num_keys=2)
     first = jnp.concatenate(
         [
             jnp.ones((1,), dtype=jnp.bool_),
             (s_hi[1:] != s_hi[:-1]) | (s_lo[1:] != s_lo[:-1]),
         ]
     )
-    seg_ids = jnp.cumsum(first.astype(jnp.int32)) - 1  # (N,)
-    counts = jax.ops.segment_sum(
-        jnp.ones_like(seg_ids, dtype=jnp.uint32),
-        seg_ids,
-        num_segments=max_uniques,
-    )
+    seg_ids = jnp.cumsum(first.astype(jnp.int32)) - 1  # (Npad,)
+    counts = jax.ops.segment_sum(s_w, seg_ids, num_segments=max_uniques)
     unique_lo = jnp.zeros((max_uniques,), jnp.uint32).at[seg_ids].set(s_lo)
     unique_hi = jnp.zeros((max_uniques,), jnp.uint32).at[seg_ids].set(s_hi)
-    num_unique = seg_ids[-1] + 1 if seg_ids.shape[0] > 0 else jnp.int32(0)
+    # count segments that hold real records (sentinel padding has weight 0)
+    num_unique = jnp.sum((counts > 0).astype(jnp.int32))
     return unique_lo, unique_hi, counts, num_unique
 
 

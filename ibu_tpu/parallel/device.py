@@ -328,6 +328,12 @@ def _masked_histogram(raw, n_valid, max_uniques: int):
     bc_lo, bc_hi = soa[0], soa[1]
     n = bc_lo.shape[0]
     w = (jnp.arange(n, dtype=jnp.int32) < n_valid).astype(jnp.uint32)
+    npad = 1 << max(0, (n - 1).bit_length())  # pow2 sort shapes (see stats)
+    if npad != n:
+        padk = jnp.full((npad - n,), 0xFFFFFFFF, jnp.uint32)
+        bc_lo = jnp.concatenate([bc_lo, padk])
+        bc_hi = jnp.concatenate([bc_hi, padk])
+        w = jnp.concatenate([w, jnp.zeros((npad - n,), jnp.uint32)])
     s_hi, s_lo, s_w = jax.lax.sort((bc_hi, bc_lo, w), num_keys=2)
     first = jnp.concatenate(
         [

@@ -13,14 +13,33 @@ import os
 
 
 def apply_platform_env() -> None:
-    """Honor ``JAX_PLATFORMS`` by pinning it into jax config.
+    """Honor ``JAX_PLATFORMS`` by pinning it into jax config, and enable the
+    persistent compilation cache.
 
-    Must run before the first jax backend initialization. No-op when the
-    env var is unset (the plugin's default platform is used — on TPU
-    machines that is the TPU, which is what benchmarks want).
+    Must run before the first jax backend initialization. The platform pin
+    is a no-op when the env var is unset (the plugin's default platform is
+    used — on TPU machines that is the TPU, which is what benchmarks want).
     """
     value = os.environ.get("JAX_PLATFORMS")
     if value:
         import jax
 
         jax.config.update("jax_platforms", value)
+    enable_compile_cache()
+
+
+def enable_compile_cache(cache_dir: str | None = None) -> None:
+    """Turn on jax's persistent compilation cache.
+
+    Some backends (notably remote-compile TPU tunnels) take tens of seconds
+    to compile sorts and other large computations; the persistent cache
+    makes those one-time costs across processes. Directory:
+    ``$IBU_JAX_CACHE_DIR`` or ``/tmp/ibu_jax_cache``.
+    """
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "IBU_JAX_CACHE_DIR", "/tmp/ibu_jax_cache"
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

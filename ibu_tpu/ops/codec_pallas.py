@@ -47,6 +47,22 @@ def _pad_lanes(x: jax.Array, tile: int) -> tuple[jax.Array, int]:
     return x, n
 
 
+#: Minimum sublane rows for kernel blocks. Very small base counts produce
+#: degenerate (1-2 sublane) tiles that stress the Mosaic compiler; padding
+#: encode inputs with 'A' rows is free ('A' encodes to 0, contributing
+#: nothing to any packed bit), and decode simply over-produces rows that
+#: the wrapper slices off.
+_MIN_ROWS = 8
+
+
+def _pad_rows_a(planes: jax.Array) -> jax.Array:
+    """Pad base-plane rows up to ``_MIN_ROWS`` with 'A' (encode-neutral)."""
+    L = planes.shape[0]
+    if L >= _MIN_ROWS:
+        return planes
+    return jnp.pad(planes, ((0, _MIN_ROWS - L), (0, 0)), constant_values=65)
+
+
 def _encode_tile(codes: jax.Array, lo_rows: int, hi_rows: int) -> jax.Array:
     """Pack a ``(L, TN)`` int32 code tile into a ``(2, TN)`` uint32 [lo, hi]
     tile.
@@ -105,16 +121,19 @@ def encode_planes(
     L, _ = planes.shape
     if not 1 <= L <= 32:
         raise ValueError(f"base count {L} outside 1..=32")
+    planes = _pad_rows_a(planes)
+    Lp = planes.shape[0]
     planes, n = _pad_lanes(planes, tile_n)
     npad = planes.shape[1]
     out = pl.pallas_call(
         functools.partial(
-            _encode_kernel, lo_rows=min(L, 16), hi_rows=max(L - 16, 0)
+            # padded 'A' rows encode to 0, so widening lo_rows is exact
+            _encode_kernel, lo_rows=min(Lp, 16), hi_rows=max(L - 16, 0)
         ),
         out_shape=jax.ShapeDtypeStruct((2, npad), jnp.uint32),
         grid=(npad // tile_n,),
         in_specs=[
-            pl.BlockSpec((L, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM)
+            pl.BlockSpec((Lp, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec(
             (2, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM
@@ -141,24 +160,25 @@ def decode_planes(
     """``(2, N)`` uint32 [lo, hi] → ``(L, N)`` uppercase ASCII uint8."""
     if not 1 <= length <= 32:
         raise ValueError(f"base count {length} outside 1..=32")
+    Lp = max(length, _MIN_ROWS)  # over-produce rows, slice off below
     pair, n = _pad_lanes(pair, tile_n)
     npad = pair.shape[1]
     out = pl.pallas_call(
-        functools.partial(_decode_kernel, length=length),
-        out_shape=jax.ShapeDtypeStruct((length, npad), jnp.uint8),
+        functools.partial(_decode_kernel, length=Lp),
+        out_shape=jax.ShapeDtypeStruct((Lp, npad), jnp.uint8),
         grid=(npad // tile_n,),
         in_specs=[
             pl.BlockSpec((2, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec(
-            (length, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM
+            (Lp, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)
         ),
         interpret=interpret,
     )(pair)
-    return out[:, :n]
+    return out[:length, :n]
 
 
 # ---------------------------------------------------------------------------
@@ -203,6 +223,9 @@ def encode_records(
         raise ValueError(f"barcode length {bc_len} outside 1..=32")
     if not 1 <= umi_len <= 32:
         raise ValueError(f"UMI length {umi_len} outside 1..=32")
+    bc_planes = _pad_rows_a(bc_planes)
+    umi_planes = _pad_rows_a(umi_planes)
+    bc_lp, umi_lp = bc_planes.shape[0], umi_planes.shape[0]
     bc_planes, _ = _pad_lanes(bc_planes, tile_n)
     umi_planes, _ = _pad_lanes(umi_planes, tile_n)
     idx_pair, _ = _pad_lanes(idx_pair, tile_n)
@@ -213,15 +236,16 @@ def encode_records(
         salt_arr = jnp.asarray(salt, jnp.uint32).reshape((1,))
     out = pl.pallas_call(
         functools.partial(
-            _encode_records_kernel, bc_len=bc_len, umi_len=umi_len
+            # 'A'-padded rows encode to 0; widened lo_rows stay exact
+            _encode_records_kernel, bc_len=bc_lp, umi_len=umi_lp
         ),
         out_shape=jax.ShapeDtypeStruct((6, npad), jnp.uint32),
         grid=(npad // tile_n,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((bc_len, tile_n), lambda j: (0, j),
+            pl.BlockSpec((bc_lp, tile_n), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((umi_len, tile_n), lambda j: (0, j),
+            pl.BlockSpec((umi_lp, tile_n), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, tile_n), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
@@ -264,15 +288,17 @@ def decode_records(
         raise ValueError(f"barcode length {bc_len} outside 1..=32")
     if not 1 <= umi_len <= 32:
         raise ValueError(f"UMI length {umi_len} outside 1..=32")
+    bc_lp = max(bc_len, _MIN_ROWS)  # over-produce rows, slice off below
+    umi_lp = max(umi_len, _MIN_ROWS)
     soa, n = _pad_lanes(soa, tile_n)
     npad = soa.shape[1]
     bc, umi, idx = pl.pallas_call(
         functools.partial(
-            _decode_records_kernel, bc_len=bc_len, umi_len=umi_len
+            _decode_records_kernel, bc_len=bc_lp, umi_len=umi_lp
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bc_len, npad), jnp.uint8),
-            jax.ShapeDtypeStruct((umi_len, npad), jnp.uint8),
+            jax.ShapeDtypeStruct((bc_lp, npad), jnp.uint8),
+            jax.ShapeDtypeStruct((umi_lp, npad), jnp.uint8),
             jax.ShapeDtypeStruct((2, npad), jnp.uint32),
         ),
         grid=(npad // tile_n,),
@@ -281,9 +307,9 @@ def decode_records(
                          memory_space=pltpu.VMEM)
         ],
         out_specs=(
-            pl.BlockSpec((bc_len, tile_n), lambda j: (0, j),
+            pl.BlockSpec((bc_lp, tile_n), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((umi_len, tile_n), lambda j: (0, j),
+            pl.BlockSpec((umi_lp, tile_n), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, tile_n), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
@@ -293,4 +319,4 @@ def decode_records(
         ),
         interpret=interpret,
     )(soa)
-    return bc[:, :n], umi[:, :n], idx[:, :n]
+    return bc[:bc_len, :n], umi[:umi_len, :n], idx[:, :n]

@@ -243,18 +243,11 @@ def config4_compressed_histogram(n: int, workdir: str) -> None:
 def config5_multihost_parallel(n: int, workdir: str) -> None:
     """Sharded parallel count + merge over the mesh/pod slice
     (BASELINE config 5; parallel.rs parity)."""
-    from ibu_tpu import Header, Writer
     from ibu_tpu.parallel.multihost import multihost_file_stats
-    from ibu_tpu.constructs.record import make_records
+    from ibu_tpu.utils.datagen import parallel_fields, write_patterned_file
 
     path = os.path.join(workdir, "mh.ibu")
-    header = Header.new(16, 12)
-    chunk = 4 * 1024 * 1024
-    with Writer.from_path(path, header) as w:
-        for s in range(0, n, chunk):
-            m = min(chunk, n - s)
-            i = np.arange(s, s + m, dtype=np.uint64)
-            w.write_batch(make_records(i % np.uint64(1_000_000), i * np.uint64(2), i))
+    write_patterned_file(path, n, parallel_fields)
 
     t0 = time.perf_counter()
     stats = multihost_file_stats(path)

@@ -41,22 +41,16 @@ def main() -> None:
 
     import jax
 
-    from ibu_tpu import Header, Writer
-    from ibu_tpu.constructs.record import make_records
     from ibu_tpu.io.mmap import MmapReader
     from ibu_tpu.parallel.device import AXIS, make_mesh, stream_file_stats
+    from ibu_tpu.utils.datagen import parallel_fields, write_patterned_file
     from jax.sharding import Mesh
 
     n = int(args.records * 1_000_000)
     workdir = tempfile.mkdtemp(prefix="ibu_scaling_")
     path = os.path.join(workdir, "scale.ibu")
     print(f"writing {n} records...", file=sys.stderr, flush=True)
-    chunk = 4 * 1024 * 1024
-    with Writer.from_path(path, Header.new(16, 12)) as w:
-        for s in range(0, n, chunk):
-            m = min(chunk, n - s)
-            i = np.arange(s, s + m, dtype=np.uint64)
-            w.write_batch(make_records(i, i * np.uint64(2), i))
+    write_patterned_file(path, n, parallel_fields)
 
     devices = jax.devices()
     sizes = []

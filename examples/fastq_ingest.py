@@ -52,13 +52,24 @@ def synth_fastq(path: str, reads: int, prefix_len: int, seed: int = 0) -> None:
 
 
 def fastq_prefixes(path: str, prefix_len: int, batch: int = 200_000):
-    """Yield ``(N, prefix_len)`` ASCII arrays of read prefixes (batched)."""
+    """Yield ``(N, prefix_len)`` ASCII arrays of read prefixes (batched).
+
+    Reads shorter than ``prefix_len`` raise a clear error (slicing them
+    would otherwise smuggle newline bytes into barcodes or crash the
+    reshape with an opaque message).
+    """
     opener = gzip.open if path.endswith(".gz") else open
     buf = []
     with opener(path, "rb") as f:
         for lineno, line in enumerate(f):
             if lineno % 4 == 1:  # sequence line
-                buf.append(line[:prefix_len])
+                seq = line.rstrip(b"\r\n")
+                if len(seq) < prefix_len:
+                    raise ValueError(
+                        f"read at line {lineno + 1} is {len(seq)} bases, "
+                        f"shorter than bc_len+umi_len={prefix_len}"
+                    )
+                buf.append(seq[:prefix_len])
                 if len(buf) >= batch:
                     yield np.frombuffer(b"".join(buf), dtype=np.uint8).reshape(
                         len(buf), prefix_len
@@ -103,6 +114,7 @@ def main() -> None:
     total = 0
     read_index = 0
     for prefixes in fastq_prefixes(fastq, prefix_len):
+        C.np_validate_ascii(prefixes)  # reject N's etc. with a clear error
         n = len(prefixes)
         bc_planes = jnp.asarray(np.ascontiguousarray(prefixes[:, : args.bc_len].T))
         umi_planes = jnp.asarray(np.ascontiguousarray(prefixes[:, args.bc_len :].T))

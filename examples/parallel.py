@@ -37,16 +37,11 @@ CHUNK = 4 * 1024 * 1024
 
 
 def write_file(filename: str, num_records: int) -> None:
-    header = Header.new(16, 12)
-    header.set_sorted()
+    from ibu_tpu.utils.datagen import parallel_fields, write_patterned_file
+
     start = time.perf_counter()
-    with Writer.from_path(filename, header) as writer:
-        for s in range(0, num_records, CHUNK):
-            n = min(CHUNK, num_records - s)
-            i = np.arange(s, s + n, dtype=np.uint64)
-            writer.write_batch(
-                make_records(i % np.uint64(1_000_000), i * np.uint64(2), i)
-            )
+    write_patterned_file(filename, num_records, parallel_fields,
+                         sorted_flag=True)
     dur = time.perf_counter() - start
     print(f"  Wrote {num_records} records in {dur:.2f}s "
           f"({num_records * 24 / dur / 1e9:.2f} GB/s)")

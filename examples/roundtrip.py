@@ -19,17 +19,14 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from ibu_tpu import Header, Reader, Writer, load_to_vec
 from ibu_tpu.constructs.record import make_records
+from ibu_tpu.utils.datagen import roundtrip_fields
 
 CHUNK = 4 * 1024 * 1024
 
 
 def patterned_batch(start: int, n: int) -> np.ndarray:
     i = np.arange(start, start + n, dtype=np.uint64)
-    return make_records(
-        i % np.uint64(1_000_000),
-        (i * np.uint64(31)) % np.uint64(1_000_000),
-        i,
-    )
+    return make_records(*roundtrip_fields(i))
 
 
 def main() -> None:

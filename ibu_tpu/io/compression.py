@@ -68,11 +68,45 @@ def sniff_compression(magic: bytes) -> str | None:
     return None
 
 
+class _ChainClosing:
+    """Delegate reads to a decompressor, but close the WHOLE stream chain.
+
+    ``gzip.GzipFile.close()`` (and zstd's reader, depending on version)
+    does not close the file object it wraps, which leaks the underlying
+    file descriptor — one per compressed file opened, until the process
+    hits its fd limit.
+    """
+
+    def __init__(self, stream, *also_close):
+        self._stream = stream
+        self._also_close = also_close
+
+    def read(self, n: int = -1) -> bytes:
+        return self._stream.read(n)
+
+    def close(self) -> None:
+        try:
+            self._stream.close()
+        finally:
+            for s in self._also_close:
+                try:
+                    s.close()
+                except Exception:
+                    pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def wrap_decompress(stream: BinaryIO) -> BinaryIO:
     """Sniff ``stream``'s magic and return a transparently-decompressing reader.
 
     Works on non-seekable streams (stdin, pipes) by buffering the sniffed
-    prefix. Plain streams are returned with the prefix replayed.
+    prefix. Plain streams are returned with the prefix replayed. Closing
+    the returned reader closes the full chain down to ``stream``.
     """
     prefix = stream.read(4) or b""
     kind = sniff_compression(prefix)
@@ -82,13 +116,15 @@ def wrap_decompress(stream: BinaryIO) -> BinaryIO:
     if kind is None:
         return replayed
     if kind == "gzip":
-        return gzip.GzipFile(fileobj=replayed, mode="rb")  # type: ignore[return-value]
+        gz = gzip.GzipFile(fileobj=replayed, mode="rb")
+        return _ChainClosing(gz, replayed)  # type: ignore[return-value]
     if kind == "zstd":
         if not _HAVE_ZSTD:
             raise CompressionError(
                 "zstd-compressed input but the 'zstandard' module is unavailable"
             )
-        return _zstd.ZstdDecompressor().stream_reader(replayed)  # type: ignore
+        zr = _zstd.ZstdDecompressor().stream_reader(replayed)
+        return _ChainClosing(zr, replayed)  # type: ignore[return-value]
     raise CompressionError(f"unknown compression kind {kind!r}")
 
 

@@ -50,6 +50,7 @@ class Writer:
         self._pos = 0
         self._records_written = 0
         self._finished = False
+        self._wrote_header = header is not None
         if header is not None:
             self._write_all(header.as_bytes())
 
@@ -180,9 +181,18 @@ class Writer:
 
     def ingest(self, other: "Writer") -> None:
         """Merge another in-memory writer's bytes into this one, then clear it
-        (ref ``writer.rs:477-482``). ``other`` must wrap a ``BytesIO``."""
+        (ref ``writer.rs:477-482``). ``other`` must wrap a ``BytesIO`` and be
+        **headless** — a headered source would splice its 32-byte header
+        into this writer's record region, corrupting the file (the
+        reference leaves this to convention; here it is enforced)."""
         if not isinstance(other._inner, io.BytesIO):
             raise TypeError("ingest requires the source writer to be in-memory")
+        if other._wrote_header:
+            raise ValueError(
+                "ingest source must be headless (Writer.new_headless / "
+                "Writer.in_memory()); its header bytes would corrupt the "
+                "record stream"
+            )
         other._flush_buffer()
         data = other._inner.getvalue()
         self._write_slice(memoryview(data), len(data) // RECORD_SIZE)

@@ -179,8 +179,20 @@ def barcode_histogram(
     counts = jax.ops.segment_sum(s_w, seg_ids, num_segments=max_uniques)
     unique_lo = jnp.zeros((max_uniques,), jnp.uint32).at[seg_ids].set(s_lo)
     unique_hi = jnp.zeros((max_uniques,), jnp.uint32).at[seg_ids].set(s_hi)
-    # count segments that hold real records (sentinel padding has weight 0)
-    num_unique = jnp.sum((counts > 0).astype(jnp.int32))
+    # True distinct count (NOT derived from `counts`, which silently drops
+    # segments >= max_uniques): total segments minus the pow2-pad sentinel
+    # segment when no real record shares the all-max key. Callers MUST
+    # treat num_unique > max_uniques as overflow — entries were dropped.
+    if npad != n:
+        has_real_max = jnp.any(
+            (s_w > 0) & (s_hi == jnp.uint32(0xFFFFFFFF)) & (s_lo == jnp.uint32(0xFFFFFFFF))
+        )
+        sentinel_seg = (~has_real_max).astype(jnp.int32)
+    else:
+        sentinel_seg = jnp.int32(0)
+    num_unique = jnp.where(
+        n > 0, seg_ids[-1] + 1 - sentinel_seg, jnp.int32(0)
+    )
     return unique_lo, unique_hi, counts, num_unique
 
 

@@ -235,7 +235,15 @@ def _stats_init():
 
 def _stats_update(state, soa_local, n_valid):
     # zero padding is neutral for limb sums; count uses n_valid directly.
-    new_sums = state["sums"] + field_sums_soa(soa_local)
+    acc = state["sums"] + field_sums_soa(soa_local)
+    # Normalize the (lo16, hi16) accumulator pair each batch: without this,
+    # every batch can add up to 65535 to the lo half regardless of record
+    # count, wrapping uint32 after ~65k small batches (silent checksum
+    # corruption). After normalization lo < 2^17 always, and hi tracks the
+    # true magnitude (≤ record count), restoring the 2^32-record capacity.
+    lo_half = acc[..., 0]
+    hi_half = acc[..., 1] + (lo_half >> 16)
+    new_sums = jnp.stack([lo_half & 0xFFFF, hi_half], axis=-1)
     lo = state["count"] + n_valid.astype(jnp.uint32)
     carry = (lo < state["count"]).astype(jnp.uint32)
     return {
@@ -345,7 +353,30 @@ def _masked_histogram(raw, n_valid, max_uniques: int):
     counts = jax.ops.segment_sum(s_w, seg_ids, num_segments=max_uniques)
     unique_lo = jnp.zeros((max_uniques,), jnp.uint32).at[seg_ids].set(s_lo)
     unique_hi = jnp.zeros((max_uniques,), jnp.uint32).at[seg_ids].set(s_hi)
-    n_seen = (seg_ids[-1] + 1)[None] if n > 0 else jnp.zeros((1,), jnp.int32)
+    if n > 0:
+        # true distinct count among VALID records: padding introduces at
+        # most two phantom segments — key 0 (zero-record padding) and key
+        # u64-max (pow2 sentinel) — counted only if no valid record shares
+        # that key. Without this correction a shard sitting exactly at
+        # capacity trips a spurious overflow error.
+        valid = s_w > 0
+        has_valid0 = jnp.any(valid & (s_hi == 0) & (s_lo == 0))
+        phantom0 = jnp.any(~valid & (s_hi == 0) & (s_lo == 0)) & ~has_valid0
+        has_validmax = jnp.any(
+            valid & (s_hi == jnp.uint32(0xFFFFFFFF)) & (s_lo == jnp.uint32(0xFFFFFFFF))
+        )
+        phantom_max = (
+            jnp.any(~valid & (s_hi == jnp.uint32(0xFFFFFFFF)) & (s_lo == jnp.uint32(0xFFFFFFFF)))
+            & ~has_validmax
+        )
+        n_seen = (
+            seg_ids[-1]
+            + 1
+            - phantom0.astype(jnp.int32)
+            - phantom_max.astype(jnp.int32)
+        )[None]
+    else:
+        n_seen = jnp.zeros((1,), jnp.int32)
     return unique_lo, unique_hi, counts, n_seen
 
 

@@ -32,7 +32,13 @@ from ibu_tpu.parallel.processor import BatchProcessor, ParallelProcessor
 
 
 def resolve_num_threads(num_threads: int) -> int:
-    """``0`` → all cores; else clamp to core count (ref ``mmap.rs:292-296``)."""
+    """``0`` → all cores; else clamp to core count (ref ``mmap.rs:292-296``).
+
+    Negative counts are rejected (the reference's ``usize`` makes them
+    unrepresentable; accepting them here would silently process nothing).
+    """
+    if num_threads < 0:
+        raise ValueError(f"num_threads must be >= 0, got {num_threads}")
     cpus = os.cpu_count() or 1
     if num_threads == 0:
         return cpus

@@ -43,3 +43,10 @@ def enable_compile_cache(cache_dir: str | None = None) -> None:
     )
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    try:
+        # Skip XLA-internal AOT caches: they fingerprint exact CPU features
+        # and spam machine-mismatch warnings across processes on the same
+        # host; the jit-executable cache is the one that matters here.
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+    except (AttributeError, ValueError):  # older jax without the knob
+        pass

@@ -222,3 +222,9 @@ class TestParallelExecution:
         c = p.clone()
         assert c.local == [0, 0, 0]
         assert p.local == [1, 1, 1]
+
+    def test_negative_threads_rejected(self, tmp_ibu_file):
+        path = tmp_ibu_file(make_records_arange(10))
+        with pytest.raises(ValueError, match="num_threads"):
+            process_parallel(MmapReader(path), SumProcessor([0, 0, 0],
+                             threading.Lock()), -1)

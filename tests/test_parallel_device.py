@@ -179,3 +179,40 @@ class TestReviewRegressions:
         assert out is raw  # untouched, not transposed
         cols = as_raw_u32(np.ascontiguousarray(raw.T), layout="columns")
         assert np.array_equal(cols, raw)
+
+    def test_limb_accumulator_many_small_batches(self):
+        """65k+ tiny batches must not wrap the limb accumulator (silent
+        checksum corruption regression)."""
+        from ibu_tpu.parallel.device import STATS_MAP_REDUCE, finalize_stats, make_mesh
+
+        mesh = make_mesh()
+        step = STATS_MAP_REDUCE.compile_step(mesh)
+        states = STATS_MAP_REDUCE.initial_states(mesh)
+        from ibu_tpu.parallel.device import shard_batch
+
+        # one batch of 8 records with near-max barcodes, replayed 70k times
+        records = make_records(
+            np.full(8, 0xFFFF, dtype=np.uint64),
+            np.zeros(8, dtype=np.uint64),
+            np.zeros(8, dtype=np.uint64),
+        )
+        dev_raw, dev_valid = shard_batch(records, mesh)
+        reps = 70_000
+        for _ in range(reps):
+            states = step(states, dev_raw, dev_valid)
+        got = finalize_stats(STATS_MAP_REDUCE.finalize(states))
+        assert got["count"] == 8 * reps
+        assert got["barcode_sum"] == (8 * reps * 0xFFFF) & 0xFFFFFFFFFFFFFFFF
+
+    def test_histogram_exact_capacity_no_error(self):
+        """A shard at exactly max_uniques_per_shard must NOT raise."""
+        # 8 shards x 8 records, barcodes 0..63: each shard sees 8 uniques
+        records = make_records(
+            np.arange(64, dtype=np.uint64),
+            np.zeros(64, dtype=np.uint64),
+            np.zeros(64, dtype=np.uint64),
+        )
+        got = sharded_barcode_histogram(
+            iter([soa_from_records(records)]), max_uniques_per_shard=8
+        )
+        assert got == {i: 1 for i in range(64)}

@@ -174,3 +174,21 @@ class TestLoadToVec:
     def test_missing_file(self, tmp_path):
         with pytest.raises(IbuIoError):
             load_to_vec(str(tmp_path / "nope.ibu"))
+
+
+class TestResourceManagement:
+    def test_compressed_reader_close_releases_fd(self, tmp_path):
+        """Closing a gzip Reader must close the underlying descriptor."""
+        import os
+
+        raw = build_stream(10).getvalue()
+        p = tmp_path / "fd.ibu.gz"
+        p.write_bytes(gzip.compress(raw))
+        fd_dir = "/proc/self/fd"
+        before = len(os.listdir(fd_dir))
+        for _ in range(10):
+            r = Reader.from_path(str(p))
+            list(r)
+            r.close()
+        after = len(os.listdir(fd_dir))
+        assert after <= before + 1  # no fd accumulation

@@ -192,3 +192,12 @@ class TestGoldenBytes:
             + (0x0506).to_bytes(8, "little")
         )
         assert w.inner.getvalue() == want
+
+
+class TestIngestGuards:
+    def test_ingest_headered_source_rejected(self):
+        main = Writer.in_memory(Header.new(16, 12))
+        bad_src = Writer.in_memory(Header.new(16, 12))  # headered!
+        bad_src.write_record(Record(1, 2, 3))
+        with pytest.raises(ValueError, match="headless"):
+            main.ingest(bad_src)

@@ -1,0 +1,91 @@
+"""Randomized end-to-end roundtrips across the configuration space.
+
+One seeded fuzzer covering combinations the unit tests sample only at
+boundaries: random (bc_len, umi_len, n, compression, batch sizes), the
+full pipeline chain sequences → encode → sort → file → stream/mmap →
+stats/decode, each leg checked against host oracles.
+"""
+
+import gzip
+import io
+
+import numpy as np
+import pytest
+
+from ibu_tpu import Header, MmapReader, Reader, Writer, sort_records
+from ibu_tpu.constructs.record import make_records
+from ibu_tpu.ops import codec as C
+from ibu_tpu.ops.stats import checksum_records_np
+from ibu_tpu.parallel.device import stream_file_stats
+from ibu_tpu.pipelines import decode_batch, encode_batch, sort_batch
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_roundtrip_config(seed, tmp_path):
+    rng = np.random.default_rng(1000 + seed)
+    bc_len = int(rng.integers(1, 33))
+    umi_len = int(rng.integers(1, 33))
+    n = int(rng.integers(1, 5000))
+    compress = bool(rng.integers(0, 2))
+    al = np.frombuffer(b"ACGTacgt", dtype=np.uint8)
+
+    bc_rows = al[rng.integers(0, 8, (n, bc_len))]
+    umi_rows = al[rng.integers(0, 8, (n, umi_len))]
+    index = rng.integers(0, 1 << 63, n, dtype=np.uint64)
+
+    # encode (device) vs host oracle
+    records = encode_batch(bc_rows, umi_rows, index)
+    assert np.array_equal(records["barcode"], C.np_pack(bc_rows))
+    assert np.array_equal(records["umi"], C.np_pack(umi_rows))
+    assert np.array_equal(records["index"], index)
+
+    # device sort vs host sort
+    records = sort_batch(records)
+    assert np.array_equal(records, sort_records(records.copy()))
+
+    # write → (maybe compressed) stream read → byte equality
+    header = Header.new(bc_len, umi_len)
+    header.set_sorted()
+    w = Writer.in_memory(header)
+    w.write_batch(records)
+    w.finish()
+    raw = w.inner.getvalue()
+    assert len(raw) == 32 + 24 * n
+
+    path = tmp_path / f"f{seed}.ibu"
+    if compress:
+        path = tmp_path / f"f{seed}.ibu.gz"
+        path.write_bytes(gzip.compress(raw))
+    else:
+        path.write_bytes(raw)
+    r = Reader.from_path(str(path))
+    got_header = r.header()
+    assert (got_header.bc_len, got_header.umi_len) == (bc_len, umi_len)
+    assert got_header.sorted()
+    back = np.concatenate(list(r.batches())) if n else np.empty(0, records.dtype)
+    assert np.array_equal(back, records)
+
+    # decode (device) back to uppercase sequences
+    bc2, umi2, idx2 = decode_batch(records, bc_len, umi_len)
+    # sort permuted rows; compare as multisets of (bc, umi, idx) triples
+    want = sorted(
+        (bytes(b).upper(), bytes(u).upper(), int(i))
+        for b, u, i in zip(bc_rows, umi_rows, index)
+    )
+    got = sorted(
+        (bytes(b), bytes(u), int(i)) for b, u, i in zip(bc2, umi2, idx2)
+    )
+    assert got == want
+
+    # uncompressed path also gets mmap + streamed device stats
+    if not compress:
+        mm = MmapReader(str(path))
+        batch_records = int(rng.integers(1, n + 1))
+        stats = stream_file_stats(mm, batch_records=batch_records)
+        want_sums = checksum_records_np(records)
+        assert stats["count"] == n
+        assert (
+            stats["barcode_sum"],
+            stats["umi_sum"],
+            stats["index_sum"],
+        ) == want_sums

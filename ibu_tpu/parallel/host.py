@@ -49,6 +49,8 @@ def partition(n: int, num_shards: int) -> list[tuple[int, int]]:
     """Static contiguous partition with remainder-to-last
     (ref ``mmap.rs:297-307``). Shard boundaries are identical to the
     reference's so multi-worker statistics match record-for-record."""
+    if num_shards <= 0:
+        raise ValueError(f"num_shards must be positive, got {num_shards}")
     per = n // num_shards
     rem = n % num_shards
     bounds = []

@@ -49,6 +49,9 @@ class Reader:
         header_bytes = self._read_exact(HEADER_SIZE)
         self._header = Header.from_bytes(header_bytes)
         self._header.validate()
+        # round down to whole records (min 1): a ragged buffer that fills
+        # completely would otherwise raise a spurious TruncatedRecord
+        buffer_size = max(buffer_size - buffer_size % RECORD_SIZE, RECORD_SIZE)
         self._buffer = bytearray(buffer_size)
         self._pos = 0  # record position within the buffer
         self._cap = 0  # valid records in the buffer

@@ -46,7 +46,8 @@ class Writer:
         buffer_size: int = DEFAULT_BUFFER_SIZE,
     ):
         self._inner = inner
-        self._buffer = bytearray(buffer_size)
+        # at least one record must fit or write_record cannot make progress
+        self._buffer = bytearray(max(buffer_size, RECORD_SIZE))
         self._pos = 0
         self._records_written = 0
         self._finished = False

@@ -192,3 +192,9 @@ class TestResourceManagement:
             r.close()
         after = len(os.listdir(fd_dir))
         assert after <= before + 1  # no fd accumulation
+
+    def test_ragged_buffer_size_rounds_down(self):
+        """A buffer_size not a multiple of 24 must not cause spurious
+        truncation errors when the buffer fills completely."""
+        r = Reader(build_stream(100), buffer_size=100)  # → 96 bytes, 4 recs
+        assert len(list(r)) == 100

@@ -201,3 +201,10 @@ class TestIngestGuards:
         bad_src.write_record(Record(1, 2, 3))
         with pytest.raises(ValueError, match="headless"):
             main.ingest(bad_src)
+
+    def test_tiny_buffer_still_progresses(self):
+        w = Writer(io.BytesIO(), Header.new(16, 12), buffer_size=1)
+        for i in range(10):
+            w.write_record(Record(i, i, i))
+        w.finish()
+        assert len(w.inner.getvalue()) == HEADER_SIZE + 10 * RECORD_SIZE

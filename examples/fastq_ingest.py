@@ -13,6 +13,15 @@ real one; gzip is sniffed). Batch-first throughout: no per-read Python in
 the hot path.
 """
 
+import os as _os
+import sys
+
+# the examples dir must NOT stay on sys.path: random.py (named for parity
+# with the reference's random.rs) would shadow the stdlib random module
+_HERE = _os.path.dirname(_os.path.abspath(__file__))
+sys.path[:] = [p for p in sys.path if _os.path.abspath(p or ".") != _HERE]
+sys.path.insert(0, _os.path.dirname(_HERE))
+
 import argparse
 import gzip
 import os
@@ -20,8 +29,6 @@ import sys
 import time
 
 import numpy as np
-
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from ibu_tpu import Header, MmapReader, Writer
 from ibu_tpu.constructs.record import make_records

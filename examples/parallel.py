@@ -17,6 +17,15 @@ Default 10M records; the reference's headline run is ``--records 1000``
 (1B records, 24 GB).
 """
 
+import os as _os
+import sys
+
+# the examples dir must NOT stay on sys.path: random.py (named for parity
+# with the reference's random.rs) would shadow the stdlib random module
+_HERE = _os.path.dirname(_os.path.abspath(__file__))
+sys.path[:] = [p for p in sys.path if _os.path.abspath(p or ".") != _HERE]
+sys.path.insert(0, _os.path.dirname(_HERE))
+
 import argparse
 import os
 import sys
@@ -24,8 +33,6 @@ import threading
 import time
 
 import numpy as np
-
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from ibu_tpu import BatchProcessor, Header, MmapReader, Writer, process_parallel
 from ibu_tpu.constructs.record import make_records

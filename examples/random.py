@@ -6,13 +6,20 @@ same bandwidth report. Batch-first: records are generated and written in
 vectorized chunks rather than one at a time.
 """
 
+import os as _os
+import sys
+
+# the examples dir must NOT stay on sys.path: random.py (named for parity
+# with the reference's random.rs) would shadow the stdlib random module
+_HERE = _os.path.dirname(_os.path.abspath(__file__))
+sys.path[:] = [p for p in sys.path if _os.path.abspath(p or ".") != _HERE]
+sys.path.insert(0, _os.path.dirname(_HERE))
+
 import argparse
 import sys
 import time
 
 import numpy as np
-
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from ibu_tpu import HEADER_SIZE, RECORD_SIZE, Header, Writer
 from ibu_tpu.constructs.record import make_records

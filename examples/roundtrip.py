@@ -8,14 +8,21 @@ Default 5M records; pass ``--records 500`` (millions) for the reference's
 full 12 GB workload.
 """
 
+import os as _os
+import sys
+
+# the examples dir must NOT stay on sys.path: random.py (named for parity
+# with the reference's random.rs) would shadow the stdlib random module
+_HERE = _os.path.dirname(_os.path.abspath(__file__))
+sys.path[:] = [p for p in sys.path if _os.path.abspath(p or ".") != _HERE]
+sys.path.insert(0, _os.path.dirname(_HERE))
+
 import argparse
 import os
 import sys
 import time
 
 import numpy as np
-
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from ibu_tpu import Header, Reader, Writer, load_to_vec
 from ibu_tpu.constructs.record import make_records

@@ -1,0 +1,153 @@
+"""Command-line interface: ``python -m ibu_tpu <command>``.
+
+The reference ships no CLI binary (its examples double as one — SURVEY.md
+§1 L4); this module provides the day-to-day file operations as proper
+subcommands:
+
+    python -m ibu_tpu info data.ibu            # header + record count
+    python -m ibu_tpu stats data.ibu           # count + field checksums
+    python -m ibu_tpu sort in.ibu out.ibu      # out-of-core sorted rewrite
+    python -m ibu_tpu histogram data.ibu       # per-barcode counts (top N)
+    python -m ibu_tpu decode data.ibu          # records → TSV (bc, umi, idx)
+
+``info``/``decode`` are pure host; ``stats``/``histogram`` run on the jax
+device mesh; ``sort`` uses the native external merge sort.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def cmd_info(args) -> int:
+    from ibu_tpu import MmapReader
+
+    r = MmapReader(args.path)
+    h = r.header()
+    print(json.dumps({
+        "path": args.path,
+        "magic": "IBU!",
+        "version": h.version,
+        "bc_len": h.bc_len,
+        "umi_len": h.umi_len,
+        "sorted": h.sorted(),
+        "flags": h.flags,
+        "records": r.len(),
+        "bytes": 32 + 24 * r.len(),
+    }))
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from ibu_tpu.utils import apply_platform_env
+
+    apply_platform_env()
+    from ibu_tpu import MmapReader
+    from ibu_tpu.parallel.device import stream_file_stats
+
+    stats = stream_file_stats(MmapReader(args.path))
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_sort(args) -> int:
+    from ibu_tpu import native
+
+    if not native.available():
+        print(f"native runtime unavailable: {native.load_error()}",
+              file=sys.stderr)
+        return 1
+    native.sort_file(args.input, args.output,
+                     chunk_records=args.chunk_records, nthreads=args.threads)
+    print(f"sorted {args.input} -> {args.output}")
+    return 0
+
+
+def cmd_histogram(args) -> int:
+    from ibu_tpu.utils import apply_platform_env
+
+    apply_platform_env()
+    from ibu_tpu import MmapReader
+    from ibu_tpu.parallel.device import (
+        record_batches_from_mmap,
+        sharded_barcode_histogram,
+    )
+    from ibu_tpu.ops import codec as C
+    import numpy as np
+
+    reader = MmapReader(args.path)
+    bc_len = reader.header().bc_len
+    hist = sharded_barcode_histogram(
+        record_batches_from_mmap(reader),
+        max_uniques_per_shard=args.max_uniques,
+    )
+    top = sorted(hist.items(), key=lambda kv: -kv[1])[: args.top]
+    for barcode, count in top:
+        seq = C.decode_seqs(np.array([barcode], dtype=np.uint64), bc_len)[0]
+        print(f"{seq}\t{count}")
+    print(f"# {len(hist)} unique barcodes, {sum(hist.values())} records",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from ibu_tpu import Reader
+    from ibu_tpu.ops import codec as C
+
+    reader = Reader.from_path(args.path) if args.path != "-" else None
+    if reader is None:
+        from ibu_tpu import Reader as R
+
+        reader = R.from_stdin()
+    h = reader.header()
+    emitted = 0
+    for batch in reader.batches():
+        bc = C.decode_seqs(batch["barcode"], h.bc_len)
+        umi = C.decode_seqs(batch["umi"], h.umi_len)
+        for b, u, i in zip(bc, umi, batch["index"]):
+            print(f"{b}\t{u}\t{int(i)}")
+            emitted += 1
+            if args.limit and emitted >= args.limit:
+                return 0
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="ibu_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("info", help="print header metadata and record count")
+    p.add_argument("path")
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("stats", help="count + exact field checksums")
+    p.add_argument("path")
+    p.set_defaults(fn=cmd_stats)
+
+    p = sub.add_parser("sort", help="out-of-core sorted rewrite (native)")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--chunk-records", type=int, default=0)
+    p.add_argument("--threads", type=int, default=0)
+    p.set_defaults(fn=cmd_sort)
+
+    p = sub.add_parser("histogram", help="per-barcode counts")
+    p.add_argument("path")
+    p.add_argument("--top", type=int, default=20)
+    p.add_argument("--max-uniques", type=int, default=1 << 16,
+                   help="per-shard unique-barcode capacity")
+    p.set_defaults(fn=cmd_histogram)
+
+    p = sub.add_parser("decode", help="records → TSV (barcode, umi, index)")
+    p.add_argument("path", help="IBU file, or - for stdin")
+    p.add_argument("--limit", type=int, default=0)
+    p.set_defaults(fn=cmd_decode)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -95,3 +95,32 @@ class TestGraftEntry:
         assert p.returncode == 0, p.stderr
         assert "entry OK" in p.stdout
         assert "dryrun_multichip(8) OK" in p.stdout
+
+
+class TestCli:
+    def test_info_stats_sort_decode(self, tmp_path):
+        out = str(tmp_path / "c.ibu")
+        p = run([f"{REPO}/examples/random.py", out, "--records", "0.005",
+                 "--barcodes", "10", "--seed", "2"])
+        assert p.returncode == 0, p.stderr
+        import json as J
+
+        p = run(["-m", "ibu_tpu", "info", out])
+        assert p.returncode == 0, p.stderr
+        d = J.loads(p.stdout)
+        assert d["records"] == 5000 and not d["sorted"]
+
+        p = run(["-m", "ibu_tpu", "stats", out])
+        assert p.returncode == 0, p.stderr
+        assert J.loads(p.stdout.strip().splitlines()[-1])["count"] == 5000
+
+        dst = str(tmp_path / "s.ibu")
+        p = run(["-m", "ibu_tpu", "sort", out, dst])
+        assert p.returncode == 0, p.stderr
+        p = run(["-m", "ibu_tpu", "info", dst])
+        assert J.loads(p.stdout)["sorted"] is True
+
+        p = run(["-m", "ibu_tpu", "decode", dst, "--limit", "3"])
+        assert p.returncode == 0, p.stderr
+        lines = p.stdout.strip().splitlines()
+        assert len(lines) == 3 and all(len(l.split("\t")) == 3 for l in lines)

@@ -20,14 +20,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = textwrap.dedent(
     """
     import os, sys
-    rank, port, path = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    rank, nprocs, port, path = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+    )
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     sys.path.insert(0, {repo!r})
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(
-        f"127.0.0.1:{{port}}", num_processes=2, process_id=rank
+        f"127.0.0.1:{{port}}", num_processes=nprocs, process_id=rank
     )
     from ibu_tpu.parallel.multihost import multihost_file_stats
     stats = multihost_file_stats(path, batch_records=8192)
@@ -44,7 +46,10 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_multihost_stats(tmp_path):
+@pytest.mark.parametrize("nprocs", [2, 3])
+def test_multihost_stats_cluster(nprocs, tmp_path):
+    """Real N-process jax.distributed cluster; 3 processes exercises the
+    remainder-to-last record partition across hosts (100_001 % 3 != 0)."""
     n = 100_001
     i = np.arange(n, dtype=np.uint64)
     path = str(tmp_path / "mh.ibu")
@@ -56,12 +61,12 @@ def test_two_process_multihost_stats(tmp_path):
     port = str(_free_port())
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker_py), str(r), port, path],
+            [sys.executable, str(worker_py), str(r), str(nprocs), port, path],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
         )
-        for r in range(2)
+        for r in range(nprocs)
     ]
     outs = [p.communicate(timeout=150) for p in procs]
     s = n * (n - 1) // 2

@@ -42,7 +42,7 @@ def main() -> None:
     import jax
 
     from ibu_tpu.io.mmap import MmapReader
-    from ibu_tpu.parallel.device import AXIS, make_mesh, stream_file_stats
+    from ibu_tpu.parallel.device import AXIS, stream_file_stats
     from ibu_tpu.utils.datagen import parallel_fields, write_patterned_file
     from jax.sharding import Mesh
 

@@ -31,7 +31,6 @@ import time
 import numpy as np
 
 from ibu_tpu import Header, MmapReader, Writer
-from ibu_tpu.constructs.record import make_records
 from ibu_tpu.ops import codec as C
 from ibu_tpu.utils import apply_platform_env
 

@@ -32,10 +32,7 @@ import sys
 import threading
 import time
 
-import numpy as np
-
-from ibu_tpu import BatchProcessor, Header, MmapReader, Writer, process_parallel
-from ibu_tpu.constructs.record import make_records
+from ibu_tpu import BatchProcessor, MmapReader, process_parallel
 from ibu_tpu.utils import apply_platform_env
 
 apply_platform_env()

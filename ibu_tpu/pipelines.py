@@ -14,7 +14,6 @@ from __future__ import annotations
 import numpy as np
 
 from ibu_tpu.constructs.header import Header
-from ibu_tpu.constructs.record import make_records
 from ibu_tpu.io.mmap import MmapReader
 from ibu_tpu.io.writer import Writer
 from ibu_tpu.ops import codec as C

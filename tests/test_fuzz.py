@@ -7,13 +7,11 @@ stats/decode, each leg checked against host oracles.
 """
 
 import gzip
-import io
 
 import numpy as np
 import pytest
 
 from ibu_tpu import Header, MmapReader, Reader, Writer, sort_records
-from ibu_tpu.constructs.record import make_records
 from ibu_tpu.ops import codec as C
 from ibu_tpu.ops.stats import checksum_records_np
 from ibu_tpu.parallel.device import stream_file_stats

@@ -2,7 +2,6 @@
 
 import numpy as np
 
-from ibu_tpu.io.mmap import MmapReader
 from ibu_tpu.io.stream import DeviceStream, stream_file
 from ibu_tpu.ops.stats import checksum_records_np
 from ibu_tpu.parallel.device import STATS_MAP_REDUCE, finalize_stats, make_mesh

@@ -3,7 +3,7 @@
 A ground-up JAX/XLA/Pallas re-design of the capabilities of the reference
 Rust crate ``noamteyssier/ibu`` (see ``SURVEY.md``): the IBU! v2 wire format
 (32-byte header + 24-byte barcode/umi/index records), streaming and bulk I/O,
-memory-mapped random access, transparent gzip/zstd read-side decompression, a
+memory-mapped random access, transparent gzip/zstd compression on both read and write sides, a
 data-parallel processing engine, and — new here — a first-class 2-bit
 nucleotide codec as Pallas TPU kernels.
 

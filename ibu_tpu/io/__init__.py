@@ -4,6 +4,7 @@ Equivalent of the reference's ``src/io/`` module
 (``/root/reference/src/io/mod.rs:5-7``).
 """
 
+from ibu_tpu.io.compression import open_compressed, wrap_compress
 from ibu_tpu.io.mmap import BATCH_SIZE, MmapReader
 from ibu_tpu.io.reader import (
     DEFAULT_BUFFER_RECORDS,
@@ -22,4 +23,6 @@ __all__ = [
     "Reader",
     "Writer",
     "load_to_vec",
+    "open_compressed",
+    "wrap_compress",
 ]

@@ -1,13 +1,20 @@
-"""Transparent decompression for IBU input streams.
+"""Transparent compression for IBU streams.
 
-Equivalent of the reference's niffler integration
+Read side is the equivalent of the reference's niffler integration
 (``/root/reference/src/io/reader.rs:348-357,392-401``): the first bytes of the
 stream are sniffed for compression magic and the stream is transparently
 wrapped. Supported formats match the reference README (gzip + zstd,
-``README.md:152-159``); like the reference, compression is **read-side only**.
+``README.md:152-159``).
 
-Host-side by design: decompression is inherently serial byte-stream work that
-belongs on the CPU before records are batched to the device.
+Write side is an additive capability: the reference writer is plain-file-only
+(``writer.rs:556-559`` always opens an uncompressed ``File``), but since the
+readers sniff magic bytes anyway, compressed output roundtrips for free.
+:func:`wrap_compress` / :func:`open_compressed` provide gzip/zstd encoders,
+and :meth:`ibu_tpu.io.writer.Writer.from_path` exposes them via its
+``compression`` argument (default stays plain for parity).
+
+Host-side by design: (de)compression is inherently serial byte-stream work
+that belongs on the CPU before records are batched to the device.
 """
 
 from __future__ import annotations
@@ -84,6 +91,17 @@ class _ChainClosing:
     def read(self, n: int = -1) -> bytes:
         return self._stream.read(n)
 
+    def write(self, data) -> int:
+        n = self._stream.write(data)
+        # zstd's stream_writer may return None for fully-buffered writes;
+        # Writer._write_all treats None as an error, so report full progress.
+        return len(data) if n is None else n
+
+    def flush(self) -> None:
+        flush = getattr(self._stream, "flush", None)
+        if flush is not None:
+            flush()
+
     def close(self) -> None:
         try:
             self._stream.close()
@@ -137,3 +155,72 @@ def open_decompressed(path: str) -> BinaryIO:
 
         raise IbuIoError(e) from e
     return wrap_decompress(raw)
+
+
+# -- write side (additive; the reference is read-side only) -----------------
+
+#: file-extension → compression kind, used by ``compression="auto"``.
+EXTENSION_KINDS = {".gz": "gzip", ".zst": "zstd", ".zstd": "zstd"}
+
+
+def infer_compression(path: str) -> str | None:
+    """Classify ``path`` by extension: ``"gzip"``, ``"zstd"``, or ``None``."""
+    lower = path.lower()
+    for ext, kind in EXTENSION_KINDS.items():
+        if lower.endswith(ext):
+            return kind
+    return None
+
+
+def wrap_compress(stream: BinaryIO, kind: str, level: int | None = None) -> BinaryIO:
+    """Wrap ``stream`` in a gzip or zstd encoder.
+
+    Closing the returned writer finalizes the compressed frame and closes
+    the full chain down to ``stream``. ``level`` is the codec's native
+    compression level (gzip 0-9, zstd 1-22); ``None`` uses each codec's
+    default.
+    """
+    if kind == "gzip":
+        # level 6 (zlib's default) rather than GzipFile's 9: records are
+        # high-entropy packed words, so 9 costs ~3x CPU for ~0% extra ratio
+        gz = gzip.GzipFile(
+            fileobj=stream, mode="wb", compresslevel=6 if level is None else level
+        )
+        return _ChainClosing(gz, stream)  # type: ignore[return-value]
+    if kind == "zstd":
+        if not _HAVE_ZSTD:
+            raise CompressionError(
+                "zstd output requested but the 'zstandard' module is unavailable"
+            )
+        cctx = _zstd.ZstdCompressor(level=3 if level is None else level)
+        zw = cctx.stream_writer(stream)
+        return _ChainClosing(zw, stream)  # type: ignore[return-value]
+    raise CompressionError(
+        f"unknown compression kind {kind!r} (expected 'gzip' or 'zstd')"
+    )
+
+
+def open_compressed(
+    path: str, compression: str | None = "auto", level: int | None = None
+) -> BinaryIO:
+    """Open ``path`` for writing with optional gzip/zstd compression.
+
+    ``compression`` is ``"gzip"``, ``"zstd"``, ``None`` (plain), or
+    ``"auto"`` (default) which infers from the extension (``.gz``,
+    ``.zst``/``.zstd``; anything else is plain).
+    """
+    if compression == "auto":
+        compression = infer_compression(path)
+    try:
+        raw = open(path, "wb")
+    except OSError as e:
+        from ibu_tpu.errors import IbuIoError
+
+        raise IbuIoError(e) from e
+    if compression is None:
+        return raw
+    try:
+        return wrap_compress(raw, compression, level)
+    except Exception:
+        raw.close()
+        raise

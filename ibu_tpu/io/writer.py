@@ -69,13 +69,31 @@ class Writer:
         return cls(inner, None)
 
     @classmethod
-    def from_path(cls, path: str, header: Header) -> "Writer":
-        """Open ``path`` and write ``header``. Always an uncompressed plain
-        file, matching the reference (``writer.rs:556-559``)."""
-        try:
-            f = open(path, "wb")
-        except OSError as e:
-            raise IbuIoError(e) from e
+    def from_path(
+        cls,
+        path: str,
+        header: Header,
+        compression: str | None = None,
+        level: int | None = None,
+    ) -> "Writer":
+        """Open ``path`` and write ``header``.
+
+        By default an uncompressed plain file, matching the reference
+        (``writer.rs:556-559``). ``compression`` extends that (additively —
+        the reference has no write-side compression): ``"gzip"``/``"zstd"``
+        compress the output, ``"auto"`` infers from the extension
+        (``.gz``/``.zst``/``.zstd``). Readers sniff magic bytes, so
+        compressed files roundtrip through ``Reader.from_path`` unchanged.
+        """
+        if compression is None:
+            try:
+                f: BinaryIO = open(path, "wb")
+            except OSError as e:
+                raise IbuIoError(e) from e
+        else:
+            from ibu_tpu.io.compression import open_compressed
+
+            f = open_compressed(path, compression, level)
         return cls(f, header)
 
     @classmethod
@@ -84,11 +102,17 @@ class Writer:
         return cls(sys.stdout.buffer, header)
 
     @classmethod
-    def from_optional_path(cls, path: str | None, header: Header) -> "Writer":
+    def from_optional_path(
+        cls,
+        path: str | None,
+        header: Header,
+        compression: str | None = None,
+        level: int | None = None,
+    ) -> "Writer":
         """``path=None`` → stdout (ref ``writer.rs:618-626``)."""
         if path is None:
             return cls.from_stdout(header)
-        return cls.from_path(path, header)
+        return cls.from_path(path, header, compression, level)
 
     @classmethod
     def in_memory(cls, header: Header | None = None) -> "Writer":

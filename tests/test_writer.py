@@ -208,3 +208,67 @@ class TestIngestGuards:
             w.write_record(Record(i, i, i))
         w.finish()
         assert len(w.inner.getvalue()) == HEADER_SIZE + 10 * RECORD_SIZE
+
+
+class TestWriteCompression:
+    """Write-side gzip/zstd (additive; reference is read-side only)."""
+
+    def _roundtrip(self, tmp_path, name, compression):
+        p = tmp_path / name
+        records = recs(1000)
+        with Writer.from_path(str(p), Header.new(16, 12), compression) as w:
+            w.write_batch(records)
+        return p, records
+
+    def test_gzip_roundtrip(self, tmp_path):
+        import gzip
+
+        p, records = self._roundtrip(tmp_path, "out.ibu.gz", "gzip")
+        assert p.read_bytes()[:2] == b"\x1f\x8b"
+        # decompressed bytes are the exact plain-format bytes
+        raw = gzip.decompress(p.read_bytes())
+        assert raw[:4] == b"IBU!"
+        assert len(raw) == 32 + 1000 * RECORD_SIZE
+        with Reader.from_path(str(p)) as r:  # sniffed transparently
+            got = np.concatenate(list(r.batches()))
+        np.testing.assert_array_equal(got, records)
+
+    def test_zstd_roundtrip(self, tmp_path):
+        pytest.importorskip("zstandard")
+        p, records = self._roundtrip(tmp_path, "out.ibu.zst", "zstd")
+        assert p.read_bytes()[:4] == b"\x28\xb5\x2f\xfd"
+        with Reader.from_path(str(p)) as r:
+            got = np.concatenate(list(r.batches()))
+        np.testing.assert_array_equal(got, records)
+
+    def test_auto_infers_from_extension(self, tmp_path):
+        p, _ = self._roundtrip(tmp_path, "out.ibu.gz", "auto")
+        assert p.read_bytes()[:2] == b"\x1f\x8b"
+        p2, _ = self._roundtrip(tmp_path, "out.ibu", "auto")
+        assert p2.read_bytes()[:4] == b"IBU!"  # plain
+
+    def test_default_stays_plain(self, tmp_path):
+        """Parity: default from_path is uncompressed even for .gz names
+        (the reference always opens a plain File, writer.rs:556-559)."""
+        p = tmp_path / "plain.ibu.gz"
+        with Writer.from_path(str(p), Header.new(16, 12)) as w:
+            w.write_batch(recs(10))
+        assert p.read_bytes()[:4] == b"IBU!"
+
+    def test_unknown_kind_raises_and_leaves_no_fd(self, tmp_path):
+        from ibu_tpu.errors import CompressionError
+
+        with pytest.raises(CompressionError) as ei:
+            Writer.from_path(str(tmp_path / "x.ibu"), Header.new(16, 12), "lz4")
+        assert "unknown compression" in str(ei.value.inner)
+
+    def test_large_batch_direct_path_compressed(self, tmp_path):
+        """Batches larger than the internal buffer hit the direct-write
+        path; that path must also feed the encoder."""
+        p = tmp_path / "big.ibu.gz"
+        records = recs(DEFAULT_BUFFER_SIZE // RECORD_SIZE + 5000)
+        with Writer.from_path(str(p), Header.new(16, 12), "gzip") as w:
+            w.write_batch(records)
+        with Reader.from_path(str(p)) as r:
+            got = np.concatenate(list(r.batches()))
+        np.testing.assert_array_equal(got, records)

@@ -9,9 +9,10 @@ subcommands:
     python -m ibu_tpu sort in.ibu out.ibu      # out-of-core sorted rewrite
     python -m ibu_tpu histogram data.ibu       # per-barcode counts (top N)
     python -m ibu_tpu decode data.ibu          # records → TSV (bc, umi, idx)
+    python -m ibu_tpu export-fastq data.ibu out.fastq.gz   # records → FASTQ
 
-``info``/``decode`` are pure host; ``stats``/``histogram`` run on the jax
-device mesh; ``sort`` uses the native external merge sort.
+``info``/``decode`` are pure host; ``stats``/``histogram``/``export-fastq``
+run on the jax device mesh; ``sort`` uses the native external merge sort.
 """
 
 from __future__ import annotations
@@ -114,6 +115,14 @@ def cmd_decode(args) -> int:
     return 0
 
 
+def cmd_export_fastq(args) -> int:
+    from ibu_tpu.pipelines import export_fastq
+
+    n = export_fastq(args.input, args.output, qual=args.qual)
+    print(f"# exported {n} reads -> {args.output}", file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="ibu_tpu", description=__doc__)
     sub = ap.add_subparsers(dest="command", required=True)
@@ -144,6 +153,12 @@ def main(argv=None) -> int:
     p.add_argument("path", help="IBU file, or - for stdin")
     p.add_argument("--limit", type=int, default=0)
     p.set_defaults(fn=cmd_decode)
+
+    p = sub.add_parser("export-fastq", help="records → FASTQ (decode on device)")
+    p.add_argument("input", help="IBU file")
+    p.add_argument("output", help="FASTQ output (.gz compresses)")
+    p.add_argument("--qual", default="I", help="constant quality character")
+    p.set_defaults(fn=cmd_export_fastq)
 
     args = ap.parse_args(argv)
     return args.fn(args)

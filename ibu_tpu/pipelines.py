@@ -135,3 +135,79 @@ def decode_file(
     if as_strings:
         return header, C.rows_to_seqs(bc_rows), C.rows_to_seqs(umi_rows), index
     return header, bc_rows, umi_rows, index
+
+
+# -- FASTQ export (inverse of examples/fastq_ingest.py) ---------------------
+
+#: decimal digits in a zero-padded u64 read name (max u64 is 20 digits).
+_NAME_DIGITS = 20
+
+
+def _fastq_block(
+    bc_rows: np.ndarray, umi_rows: np.ndarray, index: np.ndarray, qual: int
+) -> bytes:
+    """Assemble one FASTQ byte block, fully vectorized (no per-read Python).
+
+    Every read is fixed-width: ``@r<20-digit index>\\n<bc+umi>\\n+\\n<qual>\\n``,
+    so the whole batch is one ``(N, W)`` uint8 matrix filled by broadcasting.
+    """
+    n = len(bc_rows)
+    bc_len, umi_len = bc_rows.shape[1], umi_rows.shape[1]
+    seq_len = bc_len + umi_len
+    width = 2 + _NAME_DIGITS + 1 + seq_len + 1 + 1 + 1 + seq_len + 1
+    block = np.empty((n, width), dtype=np.uint8)
+    col = 0
+    block[:, col] = ord("@")
+    block[:, col + 1] = ord("r")
+    col += 2
+    powers = np.uint64(10) ** np.arange(
+        _NAME_DIGITS - 1, -1, -1, dtype=np.uint64
+    )
+    digits = (index[:, None] // powers) % np.uint64(10)
+    block[:, col : col + _NAME_DIGITS] = digits.astype(np.uint8) + ord("0")
+    col += _NAME_DIGITS
+    block[:, col] = ord("\n")
+    col += 1
+    block[:, col : col + bc_len] = bc_rows
+    block[:, col + bc_len : col + seq_len] = umi_rows
+    col += seq_len
+    block[:, col] = ord("\n")
+    block[:, col + 1] = ord("+")
+    block[:, col + 2] = ord("\n")
+    col += 3
+    block[:, col : col + seq_len] = qual
+    block[:, col + seq_len] = ord("\n")
+    return block.tobytes()
+
+
+def export_fastq(
+    ibu_path: str,
+    fastq_path: str,
+    batch_records: int = 1 << 20,
+    qual: str = "I",
+) -> int:
+    """IBU file → FASTQ, the inverse of FASTQ ingestion.
+
+    Each record becomes one read named ``@r<index, zero-padded>`` whose
+    sequence is the decoded barcode followed by the UMI (the same prefix
+    layout ``examples/fastq_ingest.py`` parses, so ingest(export(f)) == f
+    up to index renumbering). Quality is the constant ``qual`` character.
+    ``.gz`` output paths are gzip-compressed. Returns the read count.
+
+    Decode runs on the device batch-by-batch (Pallas on TPU, lax
+    elsewhere); FASTQ assembly is vectorized byte-matrix fill — no
+    per-read Python in either stage.
+    """
+    import gzip
+
+    reader = MmapReader(ibu_path)
+    h = reader.header()
+    n = len(reader)
+    qbyte = ord(qual)
+    opener = gzip.open if fastq_path.endswith(".gz") else open
+    with opener(fastq_path, "wb") as out:
+        for start in range(0, n, batch_records):
+            recs = np.asarray(reader.slice(start, min(start + batch_records, n)))
+            bc_rows, umi_rows, idx = decode_batch(recs, h.bc_len, h.umi_len)
+            out.write(_fastq_block(bc_rows, umi_rows, idx, qbyte))
+    return n

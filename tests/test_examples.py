@@ -122,3 +122,17 @@ class TestCli:
         assert p.returncode == 0, p.stderr
         lines = p.stdout.strip().splitlines()
         assert len(lines) == 3 and all(len(l.split("\t")) == 3 for l in lines)
+
+    def test_export_fastq(self, tmp_path):
+        out = str(tmp_path / "e.ibu")
+        p = run([f"{REPO}/examples/random.py", out, "--records", "0.002",
+                 "--seed", "3"])
+        assert p.returncode == 0, p.stderr
+        fq = str(tmp_path / "e.fastq")
+        p = run(["-m", "ibu_tpu", "export-fastq", out, fq])
+        assert p.returncode == 0, p.stderr
+        assert "exported 2000 reads" in p.stderr
+        lines = open(fq, "rb").read().splitlines()
+        assert len(lines) == 8000
+        assert lines[0].startswith(b"@r") and lines[2] == b"+"
+        assert set(lines[1]) <= set(b"ACGT")

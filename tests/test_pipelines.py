@@ -69,3 +69,87 @@ class TestFilePipelines:
         assert (header.bc_len, header.umi_len) == (10, 6)
         # decoded rows are a permutation of the inputs (sorted by barcode)
         assert sorted(map(bytes, bc2)) == sorted(map(bytes, bc))
+
+
+class TestFastqExport:
+    def _make_file(self, tmp_path, n=500, bc_len=16, umi_len=12):
+        bc = random_seqs(n, bc_len, 3)
+        umi = random_seqs(n, umi_len, 4)
+        idx = np.arange(n, dtype=np.uint64) * np.uint64(7)
+        path = str(tmp_path / "x.ibu")
+        from ibu_tpu.constructs.header import Header
+        from ibu_tpu.io.writer import Writer
+
+        with Writer.from_path(path, Header.new(bc_len, umi_len)) as w:
+            w.write_batch(encode_batch(bc, umi, idx))
+        return path, bc, umi, idx
+
+    def test_export_matches_decoded_sequences(self, tmp_path):
+        from ibu_tpu.pipelines import export_fastq
+
+        path, bc, umi, idx = self._make_file(tmp_path)
+        out = str(tmp_path / "x.fastq")
+        n = export_fastq(path, out)
+        assert n == len(bc)
+        lines = open(out, "rb").read().splitlines()
+        assert len(lines) == 4 * n
+        names = lines[0::4]
+        seqs = lines[1::4]
+        quals = lines[3::4]
+        for k in (0, 1, n - 1):
+            assert names[k] == b"@r" + str(int(idx[k])).encode().rjust(20, b"0")
+            assert seqs[k] == bytes(bc[k]) + bytes(umi[k])
+            assert quals[k] == b"I" * (bc.shape[1] + umi.shape[1])
+        assert all(lines[2::4][k] == b"+" for k in range(n))
+
+    def test_export_ingest_roundtrip(self, tmp_path):
+        """ingest(export(f)) recovers the exact barcode/UMI content."""
+        from ibu_tpu.pipelines import export_fastq
+
+        path, bc, umi, _ = self._make_file(tmp_path, n=300)
+        out = str(tmp_path / "x.fastq")
+        export_fastq(path, out, batch_records=128)  # multiple batches
+        import importlib.util as iu
+
+        spec = iu.spec_from_file_location(
+            "fastq_ingest_mod", "examples/fastq_ingest.py"
+        )
+        mod = iu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        prefixes = np.concatenate(
+            list(mod.fastq_prefixes(out, bc.shape[1] + umi.shape[1]))
+        )
+        assert np.array_equal(prefixes[:, : bc.shape[1]], bc)
+        assert np.array_equal(prefixes[:, bc.shape[1] :], umi)
+
+    def test_export_gzip(self, tmp_path):
+        import gzip
+
+        from ibu_tpu.pipelines import export_fastq
+
+        path, bc, umi, _ = self._make_file(tmp_path, n=100)
+        out = str(tmp_path / "x.fastq.gz")
+        export_fastq(path, out)
+        lines = gzip.decompress(open(out, "rb").read()).splitlines()
+        assert len(lines) == 400
+        assert lines[1] == bytes(bc[0]) + bytes(umi[0])
+
+    def test_export_u64_max_index_name(self, tmp_path):
+        from ibu_tpu.constructs.header import Header
+        from ibu_tpu.constructs.record import make_records
+        from ibu_tpu.io.writer import Writer
+        from ibu_tpu.pipelines import export_fastq
+
+        path = str(tmp_path / "m.ibu")
+        big = np.uint64(0xFFFFFFFFFFFFFFFF)
+        with Writer.from_path(path, Header.new(4, 4)) as w:
+            w.write_batch(
+                make_records(
+                    np.array([0], np.uint64), np.array([0], np.uint64),
+                    np.array([big], np.uint64),
+                )
+            )
+        out = str(tmp_path / "m.fastq")
+        export_fastq(path, out)
+        name = open(out, "rb").read().splitlines()[0]
+        assert name == b"@r18446744073709551615"

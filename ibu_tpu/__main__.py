@@ -80,10 +80,18 @@ def cmd_histogram(args) -> int:
 
     reader = MmapReader(args.path)
     bc_len = reader.header().bc_len
-    hist = sharded_barcode_histogram(
-        record_batches_from_mmap(reader),
-        max_uniques_per_shard=args.max_uniques,
-    )
+    if args.device_table:
+        from ibu_tpu.parallel.device import DeviceHistogram
+
+        hist = DeviceHistogram(
+            capacity=args.device_table,
+            max_uniques_per_shard=args.max_uniques,
+        ).run(record_batches_from_mmap(reader))
+    else:
+        hist = sharded_barcode_histogram(
+            record_batches_from_mmap(reader),
+            max_uniques_per_shard=args.max_uniques,
+        )
     top = sorted(hist.items(), key=lambda kv: -kv[1])[: args.top]
     for barcode, count in top:
         seq = C.decode_seqs(np.array([barcode], dtype=np.uint64), bc_len)[0]
@@ -147,6 +155,9 @@ def main(argv=None) -> int:
     p.add_argument("--top", type=int, default=20)
     p.add_argument("--max-uniques", type=int, default=1 << 16,
                    help="per-shard unique-barcode capacity")
+    p.add_argument("--device-table", type=int, default=0, metavar="CAP",
+                   help="merge shards on device in a CAP-entry table "
+                        "(bounded barcode spaces; default: host-dict merge)")
     p.set_defaults(fn=cmd_histogram)
 
     p = sub.add_parser("decode", help="records → TSV (barcode, umi, index)")

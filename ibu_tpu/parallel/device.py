@@ -326,6 +326,44 @@ def sharded_stats(soa: np.ndarray, mesh: Mesh | None = None) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def _sparse_group_sum(
+    key_lo: jax.Array,
+    key_hi: jax.Array,
+    weights: jax.Array,
+    capacity: int,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Group-by-key weight sums of sparse ``(u64 key, u32 weight)`` entries.
+
+    The shared primitive under both histogram stages. Entries with weight 0
+    are INVALID (empty slots / padding): a validity flag leads the sort key,
+    so every valid entry sorts before every invalid one — valid groups
+    occupy the first segments regardless of key value (no u64-max/zero
+    phantom-key corner cases). Returns ``(lo, hi, counts, n_distinct)``
+    where the first ``n_distinct`` slots hold the distinct valid keys with
+    their summed weights; slots past ``capacity`` are silently dropped,
+    which callers must guard via ``n_distinct``.
+    """
+    invalid = (weights == 0).astype(jnp.uint32)
+    s_inv, s_hi, s_lo, s_w = jax.lax.sort(
+        (invalid, key_hi, key_lo, weights), num_keys=3
+    )
+    first = jnp.concatenate(
+        [
+            jnp.ones((1,), dtype=jnp.bool_),
+            (s_inv[1:] != s_inv[:-1])
+            | (s_hi[1:] != s_hi[:-1])
+            | (s_lo[1:] != s_lo[:-1]),
+        ]
+    )
+    seg_ids = jnp.cumsum(first.astype(jnp.int32)) - 1
+    counts = jax.ops.segment_sum(s_w, seg_ids, num_segments=capacity)
+    zeros = jnp.zeros((capacity,), jnp.uint32)
+    unique_lo = zeros.at[seg_ids].set(s_lo, mode="drop")
+    unique_hi = zeros.at[seg_ids].set(s_hi, mode="drop")
+    n_distinct = jnp.sum(first & (s_inv == 0), dtype=jnp.int32)
+    return unique_lo, unique_hi, counts, n_distinct
+
+
 def _masked_histogram(raw, n_valid, max_uniques: int):
     """Per-shard histogram with padding masked via sort-carried weights.
 
@@ -342,42 +380,10 @@ def _masked_histogram(raw, n_valid, max_uniques: int):
         bc_lo = jnp.concatenate([bc_lo, padk])
         bc_hi = jnp.concatenate([bc_hi, padk])
         w = jnp.concatenate([w, jnp.zeros((npad - n,), jnp.uint32)])
-    s_hi, s_lo, s_w = jax.lax.sort((bc_hi, bc_lo, w), num_keys=2)
-    first = jnp.concatenate(
-        [
-            jnp.ones((1,), dtype=jnp.bool_),
-            (s_hi[1:] != s_hi[:-1]) | (s_lo[1:] != s_lo[:-1]),
-        ]
+    unique_lo, unique_hi, counts, n_distinct = _sparse_group_sum(
+        bc_lo, bc_hi, w, max_uniques
     )
-    seg_ids = jnp.cumsum(first.astype(jnp.int32)) - 1
-    counts = jax.ops.segment_sum(s_w, seg_ids, num_segments=max_uniques)
-    unique_lo = jnp.zeros((max_uniques,), jnp.uint32).at[seg_ids].set(s_lo)
-    unique_hi = jnp.zeros((max_uniques,), jnp.uint32).at[seg_ids].set(s_hi)
-    if n > 0:
-        # true distinct count among VALID records: padding introduces at
-        # most two phantom segments — key 0 (zero-record padding) and key
-        # u64-max (pow2 sentinel) — counted only if no valid record shares
-        # that key. Without this correction a shard sitting exactly at
-        # capacity trips a spurious overflow error.
-        valid = s_w > 0
-        has_valid0 = jnp.any(valid & (s_hi == 0) & (s_lo == 0))
-        phantom0 = jnp.any(~valid & (s_hi == 0) & (s_lo == 0)) & ~has_valid0
-        has_validmax = jnp.any(
-            valid & (s_hi == jnp.uint32(0xFFFFFFFF)) & (s_lo == jnp.uint32(0xFFFFFFFF))
-        )
-        phantom_max = (
-            jnp.any(~valid & (s_hi == jnp.uint32(0xFFFFFFFF)) & (s_lo == jnp.uint32(0xFFFFFFFF)))
-            & ~has_validmax
-        )
-        n_seen = (
-            seg_ids[-1]
-            + 1
-            - phantom0.astype(jnp.int32)
-            - phantom_max.astype(jnp.int32)
-        )[None]
-    else:
-        n_seen = jnp.zeros((1,), jnp.int32)
-    return unique_lo, unique_hi, counts, n_seen
+    return unique_lo, unique_hi, counts, n_distinct[None]
 
 
 def sharded_barcode_histogram(
@@ -421,14 +427,136 @@ def sharded_barcode_histogram(
                 f"max_uniques_per_shard={max_uniques_per_shard} capacity; "
                 "raise the cap or use smaller batches"
             )
-        s = mesh.devices.size
-        per = u_lo.shape[0] // s
-        for sh in range(s):
-            lo = u_lo[sh * per : (sh + 1) * per]
-            hi = u_hi[sh * per : (sh + 1) * per]
-            c = counts[sh * per : (sh + 1) * per]
-            nz = np.nonzero(c)[0]
-            for i in nz:
-                key = int(lo[i]) | (int(hi[i]) << 32)
-                totals[key] = totals.get(key, 0) + int(c[i])
+        # vectorized cross-shard merge: one u64 key build + np.unique over
+        # all shards' nonzero entries (no per-entry Python)
+        nz = counts != 0
+        keys = u_lo[nz].astype(np.uint64) | (u_hi[nz].astype(np.uint64) << 32)
+        uk, inv = np.unique(keys, return_inverse=True)
+        summed = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(summed, inv, counts[nz].astype(np.int64))
+        for k, c in zip(uk.tolist(), summed.tolist()):
+            totals[k] = totals.get(k, 0) + c
     return totals
+
+
+class DeviceHistogram:
+    """Device-resident barcode histogram accumulator (bounded key spaces).
+
+    Where :func:`sharded_barcode_histogram` merges per-shard sparse results
+    in a host dict every batch (unbounded key spaces, host round-trip per
+    batch), this keeps the running ``barcode → count`` table ON DEVICE:
+
+    1. per batch, each shard histograms its local block under ``shard_map``
+       (sort + segment-sum — exactly the per-shard stage above);
+    2. a jitted global merge concatenates the per-shard sparse entries with
+       the running table and group-sums by key — XLA inserts the
+       all-gather, so the cross-shard traffic rides ICI (and DCN across
+       slices on a multi-host mesh), not the host;
+    3. :meth:`finalize` makes ONE device→host transfer and builds the dict
+       vectorized.
+
+    No host sync happens inside the batch loop, so update dispatch
+    pipelines with the device work. Capacity overflow (more than
+    ``capacity`` distinct barcodes, or ``max_uniques_per_shard`` in one
+    shard-batch) is tracked on device and raised at :meth:`finalize`.
+    Counts are uint32 per barcode (≥4.2e9 records of ONE barcode would
+    wrap; total record count is unbounded).
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh | None = None,
+        capacity: int = 1 << 20,
+        max_uniques_per_shard: int = 1 << 16,
+        placer=default_placer,
+    ):
+        self.mesh = mesh or make_mesh()
+        self.capacity = capacity
+        self.max_uniques_per_shard = max_uniques_per_shard
+        self._placer = placer
+        self._shard_fn = jax.jit(
+            shard_map(
+                functools.partial(
+                    _masked_histogram, max_uniques=max_uniques_per_shard
+                ),
+                mesh=self.mesh,
+                in_specs=(P(AXIS, None), P(AXIS)),
+                out_specs=P(AXIS),
+                check_vma=False,
+            )
+        )
+
+        replicated = NamedSharding(self.mesh, P())
+
+        @functools.partial(jax.jit, out_shardings=replicated)
+        def merge(state, b_lo, b_hi, b_cnt, b_seen):
+            lo = jnp.concatenate([state["lo"], b_lo])
+            hi = jnp.concatenate([state["hi"], b_hi])
+            cnt = jnp.concatenate([state["cnt"], b_cnt])
+            new_lo, new_hi, new_cnt, n_distinct = _sparse_group_sum(
+                lo, hi, cnt, capacity
+            )
+            return {
+                "lo": new_lo,
+                "hi": new_hi,
+                "cnt": new_cnt,
+                "n": jnp.maximum(state["n"], n_distinct),
+                "shard_seen": jnp.maximum(
+                    state["shard_seen"], jnp.max(b_seen)
+                ),
+            }
+
+        self._merge = merge
+        zeros = np.zeros(capacity, np.uint32)
+        self._state = {
+            "lo": jax.device_put(zeros, replicated),
+            "hi": jax.device_put(zeros, replicated),
+            "cnt": jax.device_put(zeros, replicated),
+            "n": jax.device_put(np.int32(0), replicated),
+            "shard_seen": jax.device_put(np.int32(0), replicated),
+        }
+
+    def update(self, batch: np.ndarray) -> None:
+        """Fold one host batch (structured records or ``(6,B)`` columns)."""
+        dev_raw, dev_valid = shard_batch(batch, self.mesh, self._placer)
+        self.update_placed(dev_raw, dev_valid)
+
+    def update_placed(self, dev_raw, dev_valid) -> None:
+        """Fold one already-placed ``(device_raw, valid)`` pair."""
+        u_lo, u_hi, counts, n_seen = self._shard_fn(dev_raw, dev_valid)
+        self._state = self._merge(self._state, u_lo, u_hi, counts, n_seen)
+
+    def finalize(self) -> dict[int, int]:
+        """One device→host transfer; returns ``{barcode: count}``."""
+
+        def to_host(x):
+            if x.is_fully_addressable:
+                return np.asarray(x)
+            return np.asarray(x.addressable_data(0))  # replicated
+
+        st = jax.tree.map(to_host, self._state)
+        if int(st["shard_seen"]) > self.max_uniques_per_shard:
+            raise ValueError(
+                f"a shard saw {int(st['shard_seen'])} unique barcodes, over "
+                f"the max_uniques_per_shard={self.max_uniques_per_shard} "
+                "capacity; raise the cap or use smaller batches"
+            )
+        if int(st["n"]) > self.capacity:
+            raise ValueError(
+                f"{int(st['n'])} distinct barcodes exceed the device table "
+                f"capacity={self.capacity}; raise capacity or use "
+                "sharded_barcode_histogram (host merge, unbounded)"
+            )
+        nz = st["cnt"] != 0
+        keys = st["lo"][nz].astype(np.uint64) | (
+            st["hi"][nz].astype(np.uint64) << 32
+        )
+        return dict(
+            zip(keys.tolist(), st["cnt"][nz].astype(np.int64).tolist())
+        )
+
+    def run(self, batches: Iterator[np.ndarray]) -> dict[int, int]:
+        """Fold all ``batches`` and finalize."""
+        for batch in batches:
+            self.update(batch)
+        return self.finalize()

@@ -93,6 +93,60 @@ def process_local_placer(local: np.ndarray, mesh: Mesh, spec: P) -> jax.Array:
     )
 
 
+def multihost_placed_batches(
+    reader: MmapReader,
+    mesh: Mesh,
+    batch_records: int = 4 * BATCH_SIZE,
+) -> Iterator[tuple[jax.Array, jax.Array]]:
+    """Yield globally-placed ``(raw, valid)`` pairs of this process's range.
+
+    Every process yields the SAME number of pairs (short shards pad with
+    empty batches) because downstream collectives are cohort-wide; the
+    per-device valid counts mask the padding.
+    """
+    from jax.experimental import multihost_utils
+
+    s_local = jax.local_device_count()
+    per_dev = _cdiv(batch_records, s_local)
+    local_cols = per_dev * s_local  # fixed local block width every round
+
+    start, end = local_record_range(reader.len())
+    rounds = int(
+        np.max(
+            np.asarray(
+                multihost_utils.process_allgather(
+                    np.array([_cdiv(max(end - start, 0), local_cols)])
+                )
+            )
+        )
+    )
+
+    pos = start
+    for _ in range(rounds):
+        stop = min(pos + local_cols, end)
+        if stop > pos:
+            blk = (
+                np.ascontiguousarray(reader.slice(pos, stop))
+                .view(np.uint32)
+                .reshape(-1, 6)
+            )
+        else:
+            blk = np.zeros((0, 6), dtype=np.uint32)
+        b_local = blk.shape[0]
+        pos = stop
+        if b_local < local_cols:
+            blk = np.concatenate(
+                [blk, np.zeros((local_cols - b_local, 6), dtype=np.uint32)]
+            )
+        valid_local = np.minimum(
+            np.maximum(b_local - per_dev * np.arange(s_local), 0), per_dev
+        ).astype(np.int32)
+        yield (
+            process_local_placer(blk, mesh, P(AXIS, None)),
+            process_local_placer(valid_local, mesh, P(AXIS)),
+        )
+
+
 def multihost_file_stats(
     path: str,
     mesh: Mesh | None = None,
@@ -115,49 +169,48 @@ def multihost_file_stats(
         )
         return finalize_stats(merged)
 
-    from jax.experimental import multihost_utils
-
     mesh = mesh or make_mesh()
-    s_local = jax.local_device_count()
-    per_dev = _cdiv(batch_records, s_local)
-    local_cols = per_dev * s_local  # fixed local block width every round
-
-    start, end = local_record_range(reader.len())
-    rounds = int(
-        np.max(
-            np.asarray(
-                multihost_utils.process_allgather(
-                    np.array([_cdiv(max(end - start, 0), local_cols)])
-                )
-            )
-        )
-    )
-
     step = engine.compile_step(mesh)
     states = engine.initial_states(mesh, process_local_placer)
-
-    pos = start
-    for _ in range(rounds):
-        stop = min(pos + local_cols, end)
-        if stop > pos:
-            blk = (
-                np.ascontiguousarray(reader.slice(pos, stop))
-                .view(np.uint32)
-                .reshape(-1, 6)
-            )
-        else:
-            blk = np.zeros((0, 6), dtype=np.uint32)
-        b_local = blk.shape[0]
-        pos = stop
-        if b_local < local_cols:
-            blk = np.concatenate(
-                [blk, np.zeros((local_cols - b_local, 6), dtype=np.uint32)]
-            )
-        valid_local = np.minimum(
-            np.maximum(b_local - per_dev * np.arange(s_local), 0), per_dev
-        ).astype(np.int32)
-        g_raw = process_local_placer(blk, mesh, P(AXIS, None))
-        g_valid = process_local_placer(valid_local, mesh, P(AXIS))
+    for g_raw, g_valid in multihost_placed_batches(reader, mesh, batch_records):
         states = step(states, g_raw, g_valid)
-
     return finalize_stats(engine.finalize(states))
+
+
+def multihost_barcode_histogram(
+    path: str,
+    mesh: Mesh | None = None,
+    batch_records: int = 4 * BATCH_SIZE,
+    capacity: int = 1 << 20,
+    max_uniques_per_shard: int = 1 << 16,
+) -> dict[int, int]:
+    """Per-barcode counts across all hosts of a pod slice.
+
+    Every process streams its own record range; per-shard sparse
+    histograms merge on device each batch (``DeviceHistogram``), so the
+    cross-shard union rides ICI/DCN collectives, and the single final
+    table transfers once per host. Requires a bounded barcode space
+    (≤ ``capacity`` distinct values).
+    """
+    from ibu_tpu.parallel.device import DeviceHistogram
+
+    reader = MmapReader(path)
+
+    if jax.process_count() == 1:
+        hist = DeviceHistogram(
+            mesh=mesh,
+            capacity=capacity,
+            max_uniques_per_shard=max_uniques_per_shard,
+        )
+        return hist.run(local_record_batches(reader, batch_records))
+
+    mesh = mesh or make_mesh()
+    hist = DeviceHistogram(
+        mesh=mesh,
+        capacity=capacity,
+        max_uniques_per_shard=max_uniques_per_shard,
+        placer=process_local_placer,
+    )
+    for g_raw, g_valid in multihost_placed_batches(reader, mesh, batch_records):
+        hist.update_placed(g_raw, g_valid)
+    return hist.finalize()

@@ -31,10 +31,19 @@ WORKER = textwrap.dedent(
     jax.distributed.initialize(
         f"127.0.0.1:{{port}}", num_processes=nprocs, process_id=rank
     )
-    from ibu_tpu.parallel.multihost import multihost_file_stats
+    from ibu_tpu.parallel.multihost import (
+        multihost_barcode_histogram,
+        multihost_file_stats,
+    )
     stats = multihost_file_stats(path, batch_records=8192)
     print("STATS", stats["count"], stats["barcode_sum"], stats["umi_sum"],
           stats["index_sum"])
+    hist = multihost_barcode_histogram(
+        path, batch_records=8192, capacity=1 << 10,
+        max_uniques_per_shard=1 << 9,
+    )
+    print("HIST", len(hist), sum(hist.values()),
+          hist.get(0, 0), hist.get(99, 0))
     """
 ).format(repo=REPO)
 
@@ -54,7 +63,10 @@ def test_multihost_stats_cluster(nprocs, tmp_path):
     i = np.arange(n, dtype=np.uint64)
     path = str(tmp_path / "mh.ibu")
     with Writer.from_path(path, Header.new(16, 12)) as w:
-        w.write_batch(make_records(i, i * np.uint64(2), i * np.uint64(3)))
+        # barcodes cycle 0..99: a bounded space for the histogram leg
+        w.write_batch(
+            make_records(i % np.uint64(100), i * np.uint64(2), i * np.uint64(3))
+        )
 
     worker_py = tmp_path / "worker.py"
     worker_py.write_text(WORKER)
@@ -70,7 +82,12 @@ def test_multihost_stats_cluster(nprocs, tmp_path):
     ]
     outs = [p.communicate(timeout=150) for p in procs]
     s = n * (n - 1) // 2
-    want = f"STATS {n} {s} {2*s} {3*s}"
+    bc_sum = sum(k % 100 for k in range(n))
+    want = f"STATS {n} {bc_sum} {2*s} {3*s}"
+    # barcodes cycle 0..99 over 100_001 records: barcode 0 appears 1001
+    # times, the rest 1000
+    want_hist = f"HIST 100 {n} 1001 1000"
     for r, (out, err) in enumerate(outs):
         assert procs[r].returncode == 0, f"rank {r} failed:\n{err[-3000:]}"
         assert want in out, f"rank {r} stats mismatch:\n{out}\n{err[-1500:]}"
+        assert want_hist in out, f"rank {r} hist mismatch:\n{out}\n{err[-1500:]}"

@@ -216,3 +216,81 @@ class TestReviewRegressions:
             iter([soa_from_records(records)]), max_uniques_per_shard=8
         )
         assert got == {i: 1 for i in range(64)}
+
+
+class TestDeviceHistogram:
+    """Device-resident histogram accumulator (cross-shard merge on device)."""
+
+    def test_matches_host_oracle(self):
+        from ibu_tpu.parallel.device import DeviceHistogram
+
+        records = random_records(10_000, seed=21, bc_space=200)
+        soa = soa_from_records(records)
+        h = DeviceHistogram(capacity=1024, max_uniques_per_shard=512)
+        got = h.run(iter([soa[:, :4000], soa[:, 4000:9001], soa[:, 9001:]]))
+        assert got == barcode_histogram_np(records)
+
+    def test_structured_batches_and_uneven_split(self):
+        from ibu_tpu.parallel.device import DeviceHistogram
+
+        records = random_records(777, seed=22, bc_space=50)
+        h = DeviceHistogram(capacity=256, max_uniques_per_shard=128)
+        got = h.run(iter([records]))
+        assert got == barcode_histogram_np(records)
+
+    def test_zero_barcode_padding_not_counted(self):
+        from ibu_tpu.parallel.device import DeviceHistogram
+
+        records = make_records(
+            np.zeros(9, dtype=np.uint64),
+            np.arange(9, dtype=np.uint64),
+            np.arange(9, dtype=np.uint64),
+        )
+        h = DeviceHistogram(capacity=64, max_uniques_per_shard=32)
+        assert h.run(iter([records])) == {0: 9}
+
+    def test_u64_max_barcode(self):
+        from ibu_tpu.parallel.device import DeviceHistogram
+
+        big = np.uint64(0xFFFFFFFFFFFFFFFF)
+        records = make_records(
+            np.array([big, big, 5], dtype=np.uint64),
+            np.arange(3, dtype=np.uint64),
+            np.arange(3, dtype=np.uint64),
+        )
+        h = DeviceHistogram(capacity=64, max_uniques_per_shard=32)
+        assert h.run(iter([records])) == {int(big): 2, 5: 1}
+
+    def test_capacity_overflow_raises_at_finalize(self):
+        from ibu_tpu.parallel.device import DeviceHistogram
+
+        records = random_records(4096, seed=23)  # ~4096 unique barcodes
+        h = DeviceHistogram(capacity=128, max_uniques_per_shard=4096)
+        h.update(soa_from_records(records))
+        with pytest.raises(ValueError, match="device table"):
+            h.finalize()
+
+    def test_shard_overflow_raises_at_finalize(self):
+        from ibu_tpu.parallel.device import DeviceHistogram
+
+        records = random_records(4096, seed=24)
+        h = DeviceHistogram(capacity=1 << 14, max_uniques_per_shard=64)
+        h.update(soa_from_records(records))
+        with pytest.raises(ValueError, match="unique barcodes"):
+            h.finalize()
+
+    def test_merge_across_many_batches(self):
+        from ibu_tpu.parallel.device import DeviceHistogram
+
+        rng = np.random.default_rng(25)
+        parts = [
+            make_records(
+                rng.integers(0, 30, 500, dtype=np.uint64),
+                rng.integers(0, 1 << 63, 500, dtype=np.uint64),
+                rng.integers(0, 1 << 63, 500, dtype=np.uint64),
+            )
+            for _ in range(6)
+        ]
+        h = DeviceHistogram(capacity=128, max_uniques_per_shard=64)
+        got = h.run(iter(parts))
+        assert got == barcode_histogram_np(np.concatenate(parts))

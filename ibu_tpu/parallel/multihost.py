@@ -160,21 +160,9 @@ def multihost_file_stats(
     the end (``psum``-equivalent host fold of the gathered per-shard
     states).
     """
-    reader = MmapReader(path)
-    engine = STATS_MAP_REDUCE
-
-    if jax.process_count() == 1:
-        merged = engine.run(
-            local_record_batches(reader, batch_records), mesh=mesh
-        )
-        return finalize_stats(merged)
-
-    mesh = mesh or make_mesh()
-    step = engine.compile_step(mesh)
-    states = engine.initial_states(mesh, process_local_placer)
-    for g_raw, g_valid in multihost_placed_batches(reader, mesh, batch_records):
-        states = step(states, g_raw, g_valid)
-    return finalize_stats(engine.finalize(states))
+    return finalize_stats(
+        multihost_map_reduce(path, STATS_MAP_REDUCE, mesh, batch_records)
+    )
 
 
 def multihost_barcode_histogram(
@@ -214,3 +202,31 @@ def multihost_barcode_histogram(
     for g_raw, g_valid in multihost_placed_batches(reader, mesh, batch_records):
         hist.update_placed(g_raw, g_valid)
     return hist.finalize()
+
+
+def multihost_map_reduce(
+    path: str,
+    engine,
+    mesh: Mesh | None = None,
+    batch_records: int = 4 * BATCH_SIZE,
+):
+    """Run any :class:`ibu_tpu.parallel.device.MapReduce` over a pod slice.
+
+    The multi-host generalization of ``MapReduce.run``: every process
+    streams its own record range of ``path`` and the engine's per-shard
+    states merge exactly as on a single host (``finalize`` gathers across
+    processes). This is the TPU-native form of the reference's "implement
+    ``ParallelProcessor`` and hand it to ``process_parallel``" extension
+    point (``/root/reference/src/parallel.rs:100-189``) at pod-slice scale.
+    """
+    reader = MmapReader(path)
+    mesh = mesh or make_mesh()
+
+    if jax.process_count() == 1:
+        return engine.run(local_record_batches(reader, batch_records), mesh=mesh)
+
+    step = engine.compile_step(mesh)
+    states = engine.initial_states(mesh, process_local_placer)
+    for g_raw, g_valid in multihost_placed_batches(reader, mesh, batch_records):
+        states = step(states, g_raw, g_valid)
+    return engine.finalize(states)

@@ -44,6 +44,19 @@ WORKER = textwrap.dedent(
     )
     print("HIST", len(hist), sum(hist.values()),
           hist.get(0, 0), hist.get(99, 0))
+    import jax.numpy as jnp
+    from ibu_tpu.parallel.device import MapReduce
+    from ibu_tpu.parallel.multihost import multihost_map_reduce
+    engine = MapReduce(
+        init=lambda: {{"mx": jnp.zeros((), jnp.uint32)}},
+        update=lambda st, soa, n: {{"mx": jnp.maximum(
+            st["mx"],
+            jnp.max(jnp.where(jnp.arange(soa.shape[1]) < n, soa[4], 0
+                              ).astype(jnp.uint32)))}},
+        merge=lambda sts: {{"mx": sts["mx"].max(axis=0)}},
+    )
+    got = multihost_map_reduce(path, engine, batch_records=8192)
+    print("MAPRED", int(got["mx"]))
     """
 ).format(repo=REPO)
 
@@ -87,7 +100,11 @@ def test_multihost_stats_cluster(nprocs, tmp_path):
     # barcodes cycle 0..99 over 100_001 records: barcode 0 appears 1001
     # times, the rest 1000
     want_hist = f"HIST 100 {n} 1001 1000"
+    # custom engine: max idx_lo across the whole file = 3*(n-1) (cross-
+    # process: the max record lives in the LAST process's range)
+    want_mapred = f"MAPRED {3*(n-1)}"
     for r, (out, err) in enumerate(outs):
         assert procs[r].returncode == 0, f"rank {r} failed:\n{err[-3000:]}"
         assert want in out, f"rank {r} stats mismatch:\n{out}\n{err[-1500:]}"
         assert want_hist in out, f"rank {r} hist mismatch:\n{out}\n{err[-1500:]}"
+        assert want_mapred in out, f"rank {r} mapred mismatch:\n{out}\n{err[-1500:]}"

@@ -294,3 +294,53 @@ class TestDeviceHistogram:
         h = DeviceHistogram(capacity=128, max_uniques_per_shard=64)
         got = h.run(iter(parts))
         assert got == barcode_histogram_np(np.concatenate(parts))
+
+
+class TestMultihostMapReduce:
+    def test_custom_engine_single_process(self, tmp_ibu_file):
+        """A user-defined MapReduce through the multihost entry point
+        (single-process path) — max/min barcode over the whole file."""
+        import jax.numpy as jnp
+
+        from ibu_tpu.parallel.multihost import multihost_map_reduce
+
+        rng = np.random.default_rng(31)
+        bc = rng.integers(1, 1 << 31, 20_000).astype(np.uint64)
+        records = make_records(
+            bc, np.zeros(20_000, np.uint64), np.zeros(20_000, np.uint64)
+        )
+        path = tmp_ibu_file(records)
+
+        engine = MapReduce(
+            init=lambda: {
+                "mx": jnp.zeros((), jnp.uint32),
+                "mn": jnp.full((), 0xFFFFFFFF, jnp.uint32),
+            },
+            update=lambda st, soa, n: {
+                "mx": jnp.maximum(
+                    st["mx"],
+                    jnp.max(
+                        jnp.where(
+                            jnp.arange(soa.shape[1]) < n, soa[0], 0
+                        ).astype(jnp.uint32)
+                    ),
+                ),
+                "mn": jnp.minimum(
+                    st["mn"],
+                    jnp.min(
+                        jnp.where(
+                            jnp.arange(soa.shape[1]) < n,
+                            soa[0],
+                            jnp.uint32(0xFFFFFFFF),
+                        ).astype(jnp.uint32)
+                    ),
+                ),
+            },
+            merge=lambda sts: {
+                "mx": sts["mx"].max(axis=0),
+                "mn": sts["mn"].min(axis=0),
+            },
+        )
+        got = multihost_map_reduce(path, engine, batch_records=4096)
+        assert int(got["mx"]) == int(bc.max())
+        assert int(got["mn"]) == int(bc.min())

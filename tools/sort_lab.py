@@ -63,9 +63,14 @@ def slope(fn, soa, k_lo=2, k_hi=6, reps=3):
         def run(soa, c0):
             def body(_, carry):
                 out = fn(soa, carry)
-                return (out[0, -1] + out[-1, 0] + carry + jnp.uint32(1)).astype(
-                    jnp.uint32
-                )
+                # position-weighted checksum: order-dependent over the FULL
+                # sorted array, so XLA's sort simplifier cannot rewrite the
+                # sort into min/max reductions (consuming only edge elements
+                # turned sorts into 0-ms no-ops in the first run)
+                pos = jax.lax.broadcasted_iota(jnp.uint32, out.shape, 1)
+                probe = jnp.sum((out * pos).astype(jnp.uint32),
+                                dtype=jnp.uint32)
+                return (probe + carry + jnp.uint32(1)).astype(jnp.uint32)
 
             return jax.lax.fori_loop(0, k, body, c0)
 

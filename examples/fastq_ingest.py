@@ -151,9 +151,14 @@ def main() -> None:
           f"({total/max(encode_s,1e-9)/1e6:.2f} M reads/s)")
 
     t0 = time.perf_counter()
-    soa_sorted = sort_records_soa(jnp.asarray(
-        np.ascontiguousarray(records.view(np.uint32).reshape(-1, 6).T)
-    ))
+    soa_sorted = sort_records_soa(
+        jnp.asarray(
+            np.ascontiguousarray(records.view(np.uint32).reshape(-1, 6).T)
+        ),
+        bc_len=args.bc_len,
+        umi_len=args.umi_len,
+        index_bits=32 if total <= (1 << 32) else None,
+    )
     records_sorted = records_from_soa(np.asarray(soa_sorted))
     header = Header.new(args.bc_len, args.umi_len)
     header.set_sorted()

@@ -74,14 +74,26 @@ def decode_batch(
     )
 
 
-def sort_batch(records: np.ndarray) -> np.ndarray:
-    """Device lexicographic sort of a structured record array."""
+def sort_batch(
+    records: np.ndarray,
+    bc_len: int | None = None,
+    umi_len: int | None = None,
+    index_bits: int | None = None,
+) -> np.ndarray:
+    """Device lexicographic sort of a structured record array.
+
+    The optional hints (header base counts, index-magnitude bound) drop
+    provably-zero hi words from the device sort — see
+    :func:`ibu_tpu.ops.stats.sort_records_soa`. Violated hints raise.
+    """
     import jax.numpy as jnp
 
     from ibu_tpu.ops.stats import sort_records_soa
 
     soa = jnp.asarray(soa_from_records(records))
-    return records_from_soa(np.asarray(sort_records_soa(soa)))
+    return records_from_soa(
+        np.asarray(sort_records_soa(soa, bc_len, umi_len, index_bits))
+    )
 
 
 def encode_sorted_file(
@@ -107,9 +119,16 @@ def encode_sorted_file(
     n = len(bc_rows)
     if len(umi_rows) != n:
         raise ValueError(f"{n} barcodes but {len(umi_rows)} UMIs")
+    index_bits = None
     if index is None:
         index = np.arange(n, dtype=np.uint64)
-    records = sort_batch(encode_batch(bc_rows, umi_rows, index))
+        index_bits = 32 if n <= (1 << 32) else None
+    records = sort_batch(
+        encode_batch(bc_rows, umi_rows, index),
+        bc_len=bc_rows.shape[1],
+        umi_len=umi_rows.shape[1],
+        index_bits=index_bits,
+    )
     header = Header.new(bc_rows.shape[1], umi_rows.shape[1])
     header.set_sorted()
     with Writer.from_path(path, header) as w:

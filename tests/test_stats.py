@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ibu_tpu import sort_records
 from ibu_tpu.constructs.record import make_records
@@ -108,3 +109,83 @@ class TestHistogram:
         soa = jnp.asarray(soa_from_records(records))
         _, _, counts, _ = barcode_histogram(soa, max_uniques=128)
         assert int(np.asarray(counts).sum()) == 5_000
+
+
+class TestHintedSort:
+    """sort_records_soa hints: drop provably-zero hi words from the sort."""
+
+    def _random_soa(self, n, bc_bits, umi_bits, idx_bits, seed=0):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(seed)
+        from ibu_tpu.constructs.record import make_records
+        from ibu_tpu.ops.u64 import soa_from_records
+
+        records = make_records(
+            rng.integers(0, 1 << bc_bits, n, dtype=np.uint64),
+            rng.integers(0, 1 << umi_bits, n, dtype=np.uint64),
+            rng.integers(0, 1 << idx_bits, n, dtype=np.uint64),
+        )
+        return jnp.asarray(soa_from_records(records)), records
+
+    def test_hinted_matches_full_sort(self):
+        import numpy.lib.recfunctions  # noqa: F401
+
+        soa, records = self._random_soa(5000, 31, 23, 32, seed=40)
+        full = np.asarray(sort_records_soa(soa))
+        hinted = np.asarray(
+            sort_records_soa(soa, bc_len=16, umi_len=12, index_bits=32)
+        )
+        assert np.array_equal(full, hinted)
+        want = np.sort(records, order=("barcode", "umi", "index"))
+        from ibu_tpu.ops.u64 import records_from_soa
+
+        assert np.array_equal(records_from_soa(hinted), want)
+
+    def test_partial_hints(self):
+        soa, records = self._random_soa(3000, 60, 20, 40, seed=41)
+        got = np.asarray(sort_records_soa(soa, bc_len=32, umi_len=10))
+        from ibu_tpu.ops.u64 import records_from_soa
+
+        want = np.sort(records, order=("barcode", "umi", "index"))
+        assert np.array_equal(records_from_soa(got), want)
+
+    def test_violated_hint_raises(self):
+        soa, _ = self._random_soa(1000, 60, 20, 20, seed=42)  # bc > 32 bits
+        with pytest.raises(ValueError, match="barcode hi"):
+            sort_records_soa(soa, bc_len=16)
+
+    def test_violated_index_hint_raises(self):
+        soa, _ = self._random_soa(1000, 20, 20, 50, seed=43)
+        with pytest.raises(ValueError, match="index hi"):
+            sort_records_soa(soa, index_bits=32)
+
+    def test_check_false_skips_validation(self):
+        soa, _ = self._random_soa(100, 60, 20, 20, seed=44)
+        # no raise (and garbage order is accepted) when check is disabled
+        sort_records_soa(soa, bc_len=16, check=False)
+
+    def test_all_max_lo_tie_with_sentinel(self):
+        """Records whose kept key words are all-max tie with the pow2 pad
+        sentinel; reconstruction must still produce the exact multiset."""
+        import jax.numpy as jnp
+
+        from ibu_tpu.constructs.record import make_records
+        from ibu_tpu.ops.u64 import records_from_soa, soa_from_records
+
+        m = np.uint64(0xFFFFFFFF)  # lo word all-ones, hi zero
+        records = make_records(
+            np.array([m, 1, m], dtype=np.uint64),
+            np.array([m, 2, m], dtype=np.uint64),
+            np.array([m, 3, 7], dtype=np.uint64),
+        )  # n=3 pads to 4 with an all-max sentinel
+        got = records_from_soa(
+            np.asarray(
+                sort_records_soa(
+                    jnp.asarray(soa_from_records(records)),
+                    bc_len=16, umi_len=16, index_bits=32,
+                )
+            )
+        )
+        want = np.sort(records, order=("barcode", "umi", "index"))
+        assert np.array_equal(got, want)

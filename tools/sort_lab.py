@@ -1,14 +1,23 @@
 #!/usr/bin/env python
-"""Device sort experiments (ROADMAP #2).
+"""Device sort experiments (ROADMAP #2 — resolved).
 
-Times lax.sort configurations for the record-sort workload on the live
-chip, slope-timed inside one execution (same methodology as bench.py).
-Questions: what does the 6-key variadic sort cost vs fewer keys; does
-is_stable cost; does a packed-significant-bits key help; how does a
-digit-extract + single-key-sort radix pass compare (feasibility probe
-for a full LSD radix sort).
+Times lax.sort operand-count configurations for the record-sort workload
+on the live chip. RESULT (TPU v5e, n=16.7M, distinct inputs,
+value-fetch-forced completion): 6 operands 74 Mrec/s, 4 ops 138, 3 ops
+162, 1 op 191. Production now drops provably-zero hi words via header
+hints (ibu_tpu/ops/stats.py::sort_records_soa) — 2.2x for bc<=16/umi<=16/
+idx<2^32. A lax.sort-based LSD radix (>=11 stable 1-op passes for 88
+significant bits) is strictly worse than one 3-op comparison sort;
+histogram+scatter radix is not viable on TPU (no efficient global
+scatter).
 
-Usage: python tools/sort_lab.py [--records 16777216]
+METHODOLOGY WARNING: the fori_loop+salt slope used by bench.py reports
+~0 ms for sort-only bodies on this tunneled backend, and raw
+block_until_ready timing is only honest under contention. The ONLY
+reliable sort timing here: distinct device-generated inputs per call +
+np.asarray value fetch of a slice of the output.
+
+Usage: python tools/sort_lab.py [--records N]
 """
 
 from __future__ import annotations
@@ -23,79 +32,10 @@ from ibu_tpu.utils import apply_platform_env
 
 apply_platform_env()
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
-
-
-def log(*a):
-    print(*a, file=sys.stderr, flush=True)
-
-
-def make_soa(n: int):
-    @jax.jit
-    def gen():
-        def col(mult, mask):
-            i = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
-            return (i * jnp.uint32(mult) + (i >> 7)) & jnp.uint32(mask)
-
-        return jnp.stack(
-            [
-                col(2654435761, 0xFFFFFFFF),  # bc_lo (full 32 bits)
-                jnp.zeros((n,), jnp.uint32),  # bc_hi = 0 (bc_len 16)
-                col(40503, 0x00FFFFFF),       # umi_lo (24 bits, umi_len 12)
-                jnp.zeros((n,), jnp.uint32),  # umi_hi = 0
-                jax.lax.broadcasted_iota(jnp.uint32, (n,), 0),  # idx_lo
-                jnp.zeros((n,), jnp.uint32),  # idx_hi = 0
-            ]
-        )
-
-    soa = gen()
-    jax.block_until_ready(soa)
-    return soa
-
-
-def slope(fn, soa, k_lo=2, k_hi=6, reps=3):
-    """Per-iteration seconds; iterations chained via a derived carry that
-    perturbs one operand so no iteration is dead or memoizable."""
-
-    def runner(k):
-        @jax.jit
-        def run(soa, c0):
-            def body(_, carry):
-                out = fn(soa, carry)
-                # position-weighted checksum: order-dependent over the FULL
-                # sorted array, so XLA's sort simplifier cannot rewrite the
-                # sort into min/max reductions (consuming only edge elements
-                # turned sorts into 0-ms no-ops in the first run)
-                pos = jax.lax.broadcasted_iota(jnp.uint32, out.shape, 1)
-                probe = jnp.sum((out * pos).astype(jnp.uint32),
-                                dtype=jnp.uint32)
-                return (probe + carry + jnp.uint32(1)).astype(jnp.uint32)
-
-            return jax.lax.fori_loop(0, k, body, c0)
-
-        return run
-
-    run_lo, run_hi = runner(k_lo), runner(k_hi)
-    seed = [int(time.time()) % 100000]
-
-    def fresh():
-        seed[0] += 1
-        return jnp.uint32(seed[0])
-
-    jax.block_until_ready((run_lo(soa, fresh()), run_hi(soa, fresh())))
-
-    def best(run):
-        b = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            jax.block_until_ready(run(soa, fresh()))
-            b = min(b, time.perf_counter() - t0)
-        return b
-
-    t_lo, t_hi = best(run_lo), best(run_hi)
-    dt = (t_hi - t_lo) / (k_hi - k_lo)
-    return (dt if dt > 0 else t_hi / k_hi), t_lo, t_hi
 
 
 def main():
@@ -103,74 +43,45 @@ def main():
     ap.add_argument("--records", type=int, default=1 << 24)
     args = ap.parse_args()
     n = args.records
-    log(f"backend={jax.default_backend()} n={n}")
-    soa = make_soa(n)
+    print(f"backend={jax.default_backend()} n={n}", file=sys.stderr)
 
-    def sort6(soa, c):
-        ops = jax.lax.sort(
-            (soa[1], soa[0] ^ c, soa[3], soa[2], soa[5], soa[4]), num_keys=6
-        )
-        return jnp.stack([ops[1], ops[0]])
+    @jax.jit
+    def gen(seed):
+        i = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
+        return (i * jnp.uint32(2654435761)) ^ (i >> 3) ^ seed
 
-    def sort6_stable(soa, c):
-        ops = jax.lax.sort(
-            (soa[1], soa[0] ^ c, soa[3], soa[2], soa[5], soa[4]),
-            num_keys=6,
-            is_stable=True,
-        )
-        return jnp.stack([ops[1], ops[0]])
+    def make_sort(n_ops):
+        @jax.jit
+        def f(x):
+            iota = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
+            umi = (x * jnp.uint32(40503)) & jnp.uint32(0xFFFFFF)
+            zeros = jnp.zeros_like(x)
+            if n_ops == 6:
+                return jax.lax.sort(
+                    (zeros, x, zeros, umi, zeros, iota), num_keys=6
+                )[1]
+            if n_ops == 4:
+                return jax.lax.sort((x, umi, zeros, iota), num_keys=4)[0]
+            if n_ops == 3:
+                return jax.lax.sort((x, umi, iota), num_keys=3)[0]
+            return jax.lax.sort((x,), num_keys=1)[0]
 
-    def sort4(soa, c):
-        # bc_hi/umi_hi known-zero (bc_len<=16): 4 key words carry 2 payloads
-        ops = jax.lax.sort(
-            (soa[0] ^ c, soa[2], soa[5], soa[4], soa[1], soa[3]), num_keys=4
-        )
-        return jnp.stack([ops[0], ops[1]])
+        return f
 
-    def sort3_stable_payload(soa, c):
-        # significant (bc_lo, umi_lo) keys; idx payload, input pre-ordered
-        # by idx => stability gives full record order
-        ops = jax.lax.sort(
-            (soa[0] ^ c, soa[2], soa[4], soa[5]), num_keys=2, is_stable=True
-        )
-        return jnp.stack([ops[0], ops[2]])
-
-    def sort1(soa, c):
-        return jnp.stack(jax.lax.sort((soa[0] ^ c,), num_keys=1))
-
-    def sort1_payload5(soa, c):
-        ops = jax.lax.sort(
-            (soa[0] ^ c, soa[1], soa[2], soa[3], soa[4], soa[5]), num_keys=1
-        )
-        return jnp.stack([ops[0], ops[4]])
-
-    def radix_pass(soa, c):
-        # one LSD pass feasibility probe: extract 8-bit digit, stable-sort
-        # by digit with the whole record as payload
-        digit = ((soa[0] ^ c) >> 8) & jnp.uint32(0xFF)
-        ops = jax.lax.sort(
-            (digit, soa[0], soa[2], soa[4], soa[5]), num_keys=1,
-            is_stable=True,
-        )
-        return jnp.stack([ops[1], ops[3]])
-
-    variants = [
-        ("sort6 (production)", sort6),
-        ("sort6 stable", sort6_stable),
-        ("sort4 keys+2payload", sort4),
-        ("sort2 stable +idx payload", sort3_stable_payload),
-        ("sort1 single key", sort1),
-        ("sort1 +5 payload", sort1_payload5),
-        ("radix pass (digit+4 payload)", radix_pass),
-    ]
-    print(f"{'variant':<30} {'ms/iter':>10} {'Mrec/s':>8}")
-    for name, fn in variants:
-        try:
-            dt, t_lo, t_hi = slope(fn, soa)
-            print(f"{name:<30} {dt*1e3:>10.1f} {n/dt/1e6:>8.1f}   "
-                  f"[k2={t_lo*1e3:.0f}ms k6={t_hi*1e3:.0f}ms]", flush=True)
-        except Exception as e:
-            print(f"{name:<30} FAILED {type(e).__name__}: {e}", flush=True)
+    print(f"{'operands':<10} {'median ms':>10} {'Mrec/s':>8}")
+    for n_ops in (6, 4, 3, 1):
+        f = make_sort(n_ops)
+        _ = np.asarray(f(gen(jnp.uint32(0)))[:8])  # compile
+        ts = []
+        for k in range(4):
+            x = gen(jnp.uint32(1000 + k))
+            jax.block_until_ready(x)
+            t0 = time.perf_counter()
+            head = np.asarray(f(x)[:8])  # value fetch forces completion
+            ts.append(time.perf_counter() - t0)
+            assert np.all(np.diff(head.astype(np.int64)) >= 0)
+        med = sorted(ts)[len(ts) // 2]
+        print(f"{n_ops:<10} {med*1e3:>10.0f} {n/med/1e6:>8.1f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -54,6 +54,15 @@ def cmd_stats(args) -> int:
 
 
 def cmd_sort(args) -> int:
+    if args.engine == "device":
+        from ibu_tpu.utils import apply_platform_env
+
+        apply_platform_env()
+        from ibu_tpu.pipelines import sort_file_device
+
+        sort_file_device(args.input, args.output)
+        print(f"sorted {args.input} -> {args.output} (device)")
+        return 0
     from ibu_tpu import native
 
     if not native.available():
@@ -143,9 +152,13 @@ def main(argv=None) -> int:
     p.add_argument("path")
     p.set_defaults(fn=cmd_stats)
 
-    p = sub.add_parser("sort", help="out-of-core sorted rewrite (native)")
+    p = sub.add_parser("sort", help="sorted rewrite (native external merge "
+                                    "sort, or in-memory device sort)")
     p.add_argument("input")
     p.add_argument("output")
+    p.add_argument("--engine", choices=("native", "device"), default="native",
+                   help="native: out-of-core external merge sort; device: "
+                        "in-memory sort on the jax device (header-hinted)")
     p.add_argument("--chunk-records", type=int, default=0)
     p.add_argument("--threads", type=int, default=0)
     p.set_defaults(fn=cmd_sort)

@@ -230,3 +230,43 @@ def export_fastq(
             bc_rows, umi_rows, idx = decode_batch(recs, h.bc_len, h.umi_len)
             out.write(_fastq_block(bc_rows, umi_rows, idx, qbyte))
     return n
+
+
+def sort_file_device(
+    in_path: str, out_path: str, index_bits: int | None = None
+) -> Header:
+    """Sorted rewrite of an IBU file using the device sort.
+
+    Loads the whole file (use :func:`ibu_tpu.native.sort_file`'s external
+    merge sort for files larger than RAM), sorts on device with hi-word
+    hints derived from the header (and a cheap host scan of the index hi
+    words when ``index_bits`` is not given), and writes with the sorted
+    flag set. Returns the written header.
+    """
+    from ibu_tpu.ops.stats import sort_records_soa
+
+    import jax.numpy as jnp
+
+    reader = MmapReader(in_path)
+    header = reader.header()
+    records = np.asarray(reader.records)
+    if index_bits is None:
+        # one host pass over the idx hi words; buys a 25% smaller sort
+        idx_hi = records["index"] >> np.uint64(32)
+        index_bits = 32 if not idx_hi.any() else None
+    soa = jnp.asarray(soa_from_records(records))
+    sorted_soa = np.asarray(
+        sort_records_soa(
+            soa,
+            bc_len=header.bc_len,
+            umi_len=header.umi_len,
+            index_bits=index_bits,
+            check=False,  # hints come from the header/scan, already proven
+        )
+    )
+    out_header = Header.new(header.bc_len, header.umi_len)
+    out_header.flags = header.flags
+    out_header.set_sorted()
+    with Writer.from_path(out_path, out_header) as w:
+        w.write_batch(records_from_soa(sorted_soa))
+    return out_header

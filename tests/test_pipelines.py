@@ -153,3 +153,54 @@ class TestFastqExport:
         export_fastq(path, out)
         name = open(out, "rb").read().splitlines()[0]
         assert name == b"@r18446744073709551615"
+
+
+class TestSortFileDevice:
+    def test_sorted_rewrite(self, tmp_path):
+        from ibu_tpu.constructs.header import Header
+        from ibu_tpu.io.mmap import MmapReader
+        from ibu_tpu.io.writer import Writer
+        from ibu_tpu.constructs.record import make_records
+        from ibu_tpu.pipelines import sort_file_device
+
+        rng = np.random.default_rng(60)
+        n = 20_000
+        records = make_records(
+            rng.integers(0, 1 << 32, n, dtype=np.uint64),
+            rng.integers(0, 1 << 24, n, dtype=np.uint64),
+            rng.permutation(n).astype(np.uint64),
+        )
+        src_path = str(tmp_path / "u.ibu")
+        dst = str(tmp_path / "s.ibu")
+        with Writer.from_path(src_path, Header.new(16, 12)) as w:
+            w.write_batch(records)
+        h = sort_file_device(src_path, dst)
+        assert h.sorted()
+        r = MmapReader(dst)
+        assert r.header().sorted()
+        got = np.asarray(r.records)
+        want = np.sort(records, order=("barcode", "umi", "index"))
+        assert np.array_equal(got, want)
+
+    def test_big_index_falls_back_to_full_sort(self, tmp_path):
+        from ibu_tpu.constructs.header import Header
+        from ibu_tpu.io.mmap import MmapReader
+        from ibu_tpu.io.writer import Writer
+        from ibu_tpu.constructs.record import make_records
+        from ibu_tpu.pipelines import sort_file_device
+
+        rng = np.random.default_rng(61)
+        n = 5000
+        records = make_records(
+            rng.integers(0, 1 << 20, n, dtype=np.uint64),
+            rng.integers(0, 1 << 20, n, dtype=np.uint64),
+            rng.integers(0, 1 << 63, n, dtype=np.uint64),  # idx_hi nonzero
+        )
+        src_path = str(tmp_path / "u.ibu")
+        dst = str(tmp_path / "s.ibu")
+        with Writer.from_path(src_path, Header.new(16, 12)) as w:
+            w.write_batch(records)
+        sort_file_device(src_path, dst)
+        got = np.asarray(MmapReader(dst).records)
+        want = np.sort(records, order=("barcode", "umi", "index"))
+        assert np.array_equal(got, want)

@@ -140,6 +140,23 @@ def main() -> int:
     check("device sort", np.array_equal(
         got, np.sort(records, order=("barcode", "umi", "index"))))
 
+    # hinted sort (dropped hi words) — the common bc16/umi12/idx<2^32 case
+    hinted_rec = make_records(
+        rng.integers(0, 1 << 32, 10_001, dtype=np.uint64),
+        rng.integers(0, 1 << 24, 10_001, dtype=np.uint64),
+        rng.permutation(10_001).astype(np.uint64),
+    )
+    got_h = records_from_soa(
+        np.asarray(
+            sort_records_soa(
+                jnp.asarray(soa_from_records(hinted_rec)),
+                bc_len=16, umi_len=12, index_bits=32,
+            )
+        )
+    )
+    check("device sort (hinted 3-op)", np.array_equal(
+        got_h, np.sort(hinted_rec, order=("barcode", "umi", "index"))))
+
     # checksums (limb pyramid) at u64 extremes
     ext = make_records(
         np.full(70_000, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64),

@@ -560,3 +560,30 @@ class DeviceHistogram:
         for batch in batches:
             self.update(batch)
         return self.finalize()
+
+
+def stream_file_histogram(
+    reader: MmapReader,
+    mesh: Mesh | None = None,
+    batch_records: int = 4 * BATCH_SIZE,
+    capacity: int = 1 << 20,
+    max_uniques_per_shard: int = 1 << 16,
+) -> dict[int, int]:
+    """Per-barcode counts of a whole file, streamed over the mesh with
+    prefetch — the histogram sibling of :func:`stream_file_stats`. The
+    running table stays on device (:class:`DeviceHistogram`), so the only
+    host work in the loop is feeding zero-copy mmap views.
+    """
+    from ibu_tpu.io.stream import stream_file
+
+    mesh = mesh or make_mesh()
+    hist = DeviceHistogram(
+        mesh=mesh,
+        capacity=capacity,
+        max_uniques_per_shard=max_uniques_per_shard,
+    )
+    for dev_raw, dev_valid in stream_file(
+        reader, mesh=mesh, batch_records=batch_records
+    ):
+        hist.update_placed(dev_raw, dev_valid)
+    return hist.finalize()

@@ -7,6 +7,7 @@ stats/decode, each leg checked against host oracles.
 """
 
 import gzip
+import os
 
 import numpy as np
 import pytest
@@ -18,7 +19,8 @@ from ibu_tpu.parallel.device import stream_file_stats
 from ibu_tpu.pipelines import decode_batch, encode_batch, sort_batch
 
 
-@pytest.mark.parametrize("seed", range(8))
+#: CI runs 8 seeds; set FUZZ_SEEDS=N for an extended sweep.
+@pytest.mark.parametrize("seed", range(int(os.environ.get("FUZZ_SEEDS", 8))))
 def test_random_roundtrip_config(seed, tmp_path):
     rng = np.random.default_rng(1000 + seed)
     bc_len = int(rng.integers(1, 33))
@@ -37,8 +39,15 @@ def test_random_roundtrip_config(seed, tmp_path):
     assert np.array_equal(records["umi"], C.np_pack(umi_rows))
     assert np.array_equal(records["index"], index)
 
-    # device sort vs host sort
-    records = sort_batch(records)
+    # device sort vs host sort — randomly exercise the hinted (dropped
+    # hi-word) comparator path; hints here are always truthful by
+    # construction (bc_len/umi_len bound the packed widths, index < 2^63)
+    if rng.integers(0, 2):
+        records = sort_batch(
+            records, bc_len=bc_len, umi_len=umi_len, index_bits=63
+        )
+    else:
+        records = sort_batch(records)
     assert np.array_equal(records, sort_records(records.copy()))
 
     # write → (maybe compressed) stream read → byte equality
@@ -52,8 +61,16 @@ def test_random_roundtrip_config(seed, tmp_path):
 
     path = tmp_path / f"f{seed}.ibu"
     if compress:
-        path = tmp_path / f"f{seed}.ibu.gz"
-        path.write_bytes(gzip.compress(raw))
+        # exercise the WRITE-side codecs: our own gzip/zstd writers must
+        # produce streams our reader sniffs back to the same bytes
+        kind = "gzip" if rng.integers(0, 2) else "zstd"
+        try:
+            import zstandard  # noqa: F401
+        except ImportError:
+            kind = "gzip"
+        path = tmp_path / f"f{seed}.ibu.{'gz' if kind == 'gzip' else 'zst'}"
+        with Writer.from_path(str(path), header, compression=kind) as cw:
+            cw.write_batch(records)
     else:
         path.write_bytes(raw)
     r = Reader.from_path(str(path))
@@ -75,7 +92,8 @@ def test_random_roundtrip_config(seed, tmp_path):
     )
     assert got == want
 
-    # uncompressed path also gets mmap + streamed device stats
+    # uncompressed path also gets mmap + streamed device stats + a FASTQ
+    # export + re-parse roundtrip
     if not compress:
         mm = MmapReader(str(path))
         batch_records = int(rng.integers(1, n + 1))
@@ -87,3 +105,20 @@ def test_random_roundtrip_config(seed, tmp_path):
             stats["umi_sum"],
             stats["index_sum"],
         ) == want_sums
+
+        from ibu_tpu.pipelines import export_fastq
+
+        fq = tmp_path / f"f{seed}.fastq"
+        assert export_fastq(str(path), str(fq),
+                            batch_records=batch_records) == n
+        lines = fq.read_bytes().splitlines()
+        assert len(lines) == 4 * n
+        if n:
+            k = int(rng.integers(0, n))
+            srt = np.sort(records, order=("barcode", "umi", "index"))
+            want_seq = (
+                C.decode_seqs(srt["barcode"][k : k + 1], bc_len)[0]
+                + C.decode_seqs(srt["umi"][k : k + 1], umi_len)[0]
+            ).encode()
+            assert lines[4 * k + 1] == want_seq
+            assert int(lines[4 * k][2:]) == int(srt["index"][k])

@@ -344,3 +344,16 @@ class TestMultihostMapReduce:
         got = multihost_map_reduce(path, engine, batch_records=4096)
         assert int(got["mx"]) == int(bc.max())
         assert int(got["mn"]) == int(bc.min())
+
+    def test_stream_file_histogram(self, tmp_ibu_file):
+        from ibu_tpu.parallel.device import stream_file_histogram
+
+        records = random_records(25_000, seed=26, bc_space=400)
+        path = tmp_ibu_file(records)
+        got = stream_file_histogram(
+            MmapReader(path),
+            batch_records=4096,
+            capacity=2048,
+            max_uniques_per_shard=1024,
+        )
+        assert got == barcode_histogram_np(records)

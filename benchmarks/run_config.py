@@ -106,7 +106,8 @@ def config2_batch_encode(n: int, workdir: str) -> None:
         soa = encode_records(
             jnp.asarray(bc_planes), jnp.asarray(umi_planes), jnp.asarray(idx)
         )
-    soa_sorted = sort_records_soa(soa)
+    # hinted comparator: bc16/umi12 + arange indices < 2^32 (2.2x sort)
+    soa_sorted = sort_records_soa(soa, bc_len=16, umi_len=12, index_bits=32)
     records = records_from_soa(np.asarray(soa_sorted))
     encode_s = time.perf_counter() - t0
 

@@ -67,7 +67,15 @@ class _PeekableStream(io.RawIOBase):
 
 
 def sniff_compression(magic: bytes) -> str | None:
-    """Classify a stream prefix: ``"gzip"``, ``"zstd"``, or ``None`` (plain)."""
+    """Classify a stream prefix: ``"gzip"``, ``"zstd"``, or ``None`` (plain).
+
+    >>> sniff_compression(GZIP_MAGIC + b"\\x08\\x00")
+    'gzip'
+    >>> sniff_compression(ZSTD_MAGIC)
+    'zstd'
+    >>> sniff_compression(b"IBU!") is None
+    True
+    """
     if magic[:2] == GZIP_MAGIC:
         return "gzip"
     if magic[:4] == ZSTD_MAGIC:
@@ -164,7 +172,15 @@ EXTENSION_KINDS = {".gz": "gzip", ".zst": "zstd", ".zstd": "zstd"}
 
 
 def infer_compression(path: str) -> str | None:
-    """Classify ``path`` by extension: ``"gzip"``, ``"zstd"``, or ``None``."""
+    """Classify ``path`` by extension: ``"gzip"``, ``"zstd"``, or ``None``.
+
+    >>> infer_compression("data.ibu.gz")
+    'gzip'
+    >>> infer_compression("data.IBU.ZST")
+    'zstd'
+    >>> infer_compression("data.ibu") is None
+    True
+    """
     lower = path.lower()
     for ext, kind in EXTENSION_KINDS.items():
         if lower.endswith(ext):

@@ -30,14 +30,24 @@ ROW_IDX_LO, ROW_IDX_HI = 4, 5
 
 
 def split_u64(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """``uint64 (N,)`` → ``(lo, hi)`` uint32 views (zero-copy when contiguous)."""
+    """``uint64 (N,)`` → ``(lo, hi)`` uint32 views (zero-copy when contiguous).
+
+    >>> lo, hi = split_u64(np.array([0x1_00000002], dtype=np.uint64))
+    >>> int(lo[0]), int(hi[0])
+    (2, 1)
+    """
     x = np.ascontiguousarray(x, dtype=np.uint64)
     pairs = x.view(np.uint32).reshape(-1, 2)  # little-endian: [lo, hi]
     return pairs[:, 0], pairs[:, 1]
 
 
 def join_u64(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
-    """``(lo, hi)`` uint32 → ``uint64 (N,)``."""
+    """``(lo, hi)`` uint32 → ``uint64 (N,)``.
+
+    >>> x = np.array([0xFFFFFFFF_00000007], dtype=np.uint64)
+    >>> bool(join_u64(*split_u64(x)) == x)
+    True
+    """
     out = np.empty((len(lo), 2), dtype=np.uint32)
     out[:, 0] = lo
     out[:, 1] = hi

@@ -7,7 +7,9 @@ import pytest
 
 import ibu_tpu.constructs.header
 import ibu_tpu.constructs.record
+import ibu_tpu.io.compression
 import ibu_tpu.ops.codec
+import ibu_tpu.ops.u64
 
 
 @pytest.mark.parametrize(
@@ -15,7 +17,9 @@ import ibu_tpu.ops.codec
     [
         ibu_tpu.constructs.header,
         ibu_tpu.constructs.record,
+        ibu_tpu.io.compression,
         ibu_tpu.ops.codec,
+        ibu_tpu.ops.u64,
     ],
 )
 def test_module_doctests(module):

@@ -55,6 +55,10 @@ def cmd_stats(args) -> int:
 
 def cmd_sort(args) -> int:
     if args.engine == "device":
+        if args.chunk_records or args.threads:
+            print("--chunk-records/--threads only apply to --engine native "
+                  "(the device sort is in-memory)", file=sys.stderr)
+            return 2
         from ibu_tpu.utils import apply_platform_env
 
         apply_platform_env()
@@ -133,6 +137,9 @@ def cmd_decode(args) -> int:
 
 
 def cmd_export_fastq(args) -> int:
+    from ibu_tpu.utils import apply_platform_env
+
+    apply_platform_env()
     from ibu_tpu.pipelines import export_fastq
 
     n = export_fastq(args.input, args.output, qual=args.qual)

@@ -100,10 +100,12 @@ class _ChainClosing:
         return self._stream.read(n)
 
     def write(self, data) -> int:
-        n = self._stream.write(data)
-        # zstd's stream_writer may return None for fully-buffered writes;
-        # Writer._write_all treats None as an error, so report full progress.
-        return len(data) if n is None else n
+        # Encoders consume the full input per call but disagree on the
+        # return value: zstandard < 0.23 returns COMPRESSED bytes flushed
+        # (0 when buffered — would spin Writer._write_all forever),
+        # >= 0.23 returns bytes read. Report full consumption ourselves.
+        self._stream.write(data)
+        return len(data)
 
     def flush(self) -> None:
         flush = getattr(self._stream, "flush", None)

@@ -217,14 +217,17 @@ def export_fastq(
     elsewhere); FASTQ assembly is vectorized byte-matrix fill — no
     per-read Python in either stage.
     """
-    import gzip
+    from ibu_tpu.io.compression import open_compressed
 
+    if len(qual) != 1 or not 0 <= ord(qual) < 256:
+        raise ValueError(
+            f"qual must be a single ASCII character, got {qual!r}"
+        )
     reader = MmapReader(ibu_path)
     h = reader.header()
     n = len(reader)
     qbyte = ord(qual)
-    opener = gzip.open if fastq_path.endswith(".gz") else open
-    with opener(fastq_path, "wb") as out:
+    with open_compressed(fastq_path) as out:
         for start in range(0, n, batch_records):
             recs = np.asarray(reader.slice(start, min(start + batch_records, n)))
             bc_rows, umi_rows, idx = decode_batch(recs, h.bc_len, h.umi_len)
@@ -261,7 +264,9 @@ def sort_file_device(
             bc_len=header.bc_len,
             umi_len=header.umi_len,
             index_bits=index_bits,
-            check=False,  # hints come from the header/scan, already proven
+            # check stays ON: a file whose records violate its own header
+            # (hi bits set beyond bc_len/umi_len) must raise, not be
+            # silently re-sorted with those bits zeroed
         )
     )
     out_header = Header.new(header.bc_len, header.umi_len)

@@ -204,3 +204,53 @@ class TestSortFileDevice:
         got = np.asarray(MmapReader(dst).records)
         want = np.sort(records, order=("barcode", "umi", "index"))
         assert np.array_equal(got, want)
+
+    def test_header_violating_file_raises_not_mangles(self, tmp_path):
+        """A file whose records contradict its own header (hi bits set
+        past bc_len=16) must raise — not silently zero those bits."""
+        from ibu_tpu.constructs.header import Header
+        from ibu_tpu.io.writer import Writer
+        from ibu_tpu.constructs.record import make_records
+        from ibu_tpu.pipelines import sort_file_device
+
+        records = make_records(
+            np.array([1 << 40, 7], dtype=np.uint64),  # bc needs >16 bases
+            np.array([1, 2], dtype=np.uint64),
+            np.array([0, 1], dtype=np.uint64),
+        )
+        src_path = str(tmp_path / "bad.ibu")
+        with Writer.from_path(src_path, Header.new(16, 12)) as w:
+            w.write_batch(records)  # writers don't validate (parity quirk)
+        with pytest.raises(ValueError, match="barcode hi"):
+            sort_file_device(src_path, str(tmp_path / "out.ibu"))
+
+
+class TestExportFastqGuards:
+    def test_bad_qual_rejected(self, tmp_path):
+        from ibu_tpu.pipelines import export_fastq
+
+        for bad in ("", "II", "你"):
+            with pytest.raises(ValueError, match="single ASCII"):
+                export_fastq("x.ibu", str(tmp_path / "x.fastq"), qual=bad)
+
+    def test_zst_output(self, tmp_path):
+        pytest.importorskip("zstandard")
+        import zstandard
+
+        from ibu_tpu.constructs.header import Header
+        from ibu_tpu.io.writer import Writer
+        from ibu_tpu.pipelines import encode_batch, export_fastq
+
+        bc = random_seqs(50, 16, 7)
+        umi = random_seqs(50, 12, 8)
+        path = str(tmp_path / "z.ibu")
+        with Writer.from_path(path, Header.new(16, 12)) as w:
+            w.write_batch(encode_batch(bc, umi, np.arange(50, dtype=np.uint64)))
+        out = str(tmp_path / "z.fastq.zst")
+        export_fastq(path, out)
+        raw = open(out, "rb").read()
+        assert raw[:4] == b"\x28\xb5\x2f\xfd"
+        lines = zstandard.ZstdDecompressor().decompress(
+            raw, max_output_size=1 << 20
+        ).splitlines()
+        assert len(lines) == 200 and lines[1] == bytes(bc[0]) + bytes(umi[0])

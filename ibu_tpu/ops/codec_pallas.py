@@ -262,12 +262,12 @@ def encode_records(
 
 
 def _decode_records_kernel(
-    soa_ref, bc_out, umi_out, idx_out, *, bc_len: int, umi_len: int
+    salt_ref, soa_ref, bc_out, umi_out, idx_out, *, bc_len: int, umi_len: int
 ):
     soa = soa_ref[:]
     bc_out[:] = _decode_tile(soa[0:2], bc_len)
     umi_out[:] = _decode_tile(soa[2:4], umi_len)
-    idx_out[:] = soa[4:6]
+    idx_out[:] = soa[4:6] ^ salt_ref[0]
 
 
 @functools.partial(
@@ -279,10 +279,16 @@ def decode_records(
     umi_len: int,
     tile_n: int = DEFAULT_TILE_N,
     interpret: bool = False,
+    salt: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fused record disassembly: ``(6, N) uint32`` columns → barcode planes,
     UMI planes, and the index [lo, hi] pair — the read-path inverse of
     :func:`encode_records`.
+
+    ``salt`` (scalar uint32, default 0) XORs the decoded index stream
+    inside the kernel at zero extra HBM traffic — the symmetric benchmark
+    chaining hook to :func:`encode_records`'s; production callers leave it
+    unset.
     """
     if not 1 <= bc_len <= 32:
         raise ValueError(f"barcode length {bc_len} outside 1..=32")
@@ -292,6 +298,10 @@ def decode_records(
     umi_lp = max(umi_len, _MIN_ROWS)
     soa, n = _pad_lanes(soa, tile_n)
     npad = soa.shape[1]
+    if salt is None:
+        salt_arr = jnp.zeros((1,), jnp.uint32)
+    else:
+        salt_arr = jnp.asarray(salt, jnp.uint32).reshape((1,))
     bc, umi, idx = pl.pallas_call(
         functools.partial(
             _decode_records_kernel, bc_len=bc_lp, umi_len=umi_lp
@@ -303,6 +313,7 @@ def decode_records(
         ),
         grid=(npad // tile_n,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((6, tile_n), lambda j: (0, j),
                          memory_space=pltpu.VMEM)
         ],
@@ -318,5 +329,5 @@ def decode_records(
             dimension_semantics=("parallel",)
         ),
         interpret=interpret,
-    )(soa)
+    )(salt_arr, soa)
     return bc[:bc_len, :n], umi[:umi_len, :n], idx[:, :n]

@@ -7,6 +7,7 @@ subcommands:
     python -m ibu_tpu info data.ibu            # header + record count
     python -m ibu_tpu stats data.ibu           # count + field checksums
     python -m ibu_tpu sort in.ibu out.ibu      # out-of-core sorted rewrite
+    python -m ibu_tpu merge out.ibu a.ibu b.ibu   # k-way sorted merge
     python -m ibu_tpu histogram data.ibu       # per-barcode counts (top N)
     python -m ibu_tpu decode data.ibu          # records → TSV (bc, umi, idx)
     python -m ibu_tpu export-fastq data.ibu out.fastq.gz   # records → FASTQ
@@ -136,6 +137,18 @@ def cmd_decode(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    from ibu_tpu import native
+
+    if not native.available():
+        print(f"native runtime unavailable: {native.load_error()}",
+              file=sys.stderr)
+        return 1
+    native.merge_files(args.inputs, args.output)
+    print(f"merged {len(args.inputs)} sorted files -> {args.output}")
+    return 0
+
+
 def cmd_export_fastq(args) -> int:
     from ibu_tpu.utils import apply_platform_env
 
@@ -184,6 +197,11 @@ def main(argv=None) -> int:
     p.add_argument("path", help="IBU file, or - for stdin")
     p.add_argument("--limit", type=int, default=0)
     p.set_defaults(fn=cmd_decode)
+
+    p = sub.add_parser("merge", help="k-way merge of sorted IBU files")
+    p.add_argument("output")
+    p.add_argument("inputs", nargs="+")
+    p.set_defaults(fn=cmd_merge)
 
     p = sub.add_parser("export-fastq", help="records → FASTQ (decode on device)")
     p.add_argument("input", help="IBU file")

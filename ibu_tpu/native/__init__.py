@@ -8,6 +8,7 @@ from ibu_tpu.native.bindings import (
     checksum_parallel,
     file_size,
     load_error,
+    merge_files,
     pack_2bit,
     read_records,
     sort_file,
@@ -21,6 +22,7 @@ __all__ = [
     "checksum_parallel",
     "file_size",
     "load_error",
+    "merge_files",
     "pack_2bit",
     "read_records",
     "sort_file",

@@ -58,6 +58,10 @@ def _load() -> ctypes.CDLL | None:
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int,
     ]
     lib.ibu_sort_file.restype = ctypes.c_int
+    lib.ibu_merge_files.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_uint64, ctypes.c_char_p,
+    ]
+    lib.ibu_merge_files.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -216,3 +220,45 @@ def sort_records(records: np.ndarray) -> np.ndarray:
         "sort_records",
     )
     return records
+
+
+def merge_files(in_paths: list[str], out_path: str) -> None:
+    """k-way merge of ALREADY-SORTED IBU files into one sorted file.
+
+    The streaming counterpart of the reference's shard-merge idiom
+    (headless ``Writer`` + ``ingest``, ``writer.rs:169-179,477-482``) for
+    sorted shards: inputs are merged by a priority queue in one pass with
+    bounded memory, never concatenated-then-resorted. Headers must agree
+    on (bc_len, umi_len) and carry the sorted flag; an input whose records
+    are not actually in order aborts with ``EILSEQ`` ("Invalid or
+    incomplete multibyte or wide character" per strerror) rather than
+    emitting a mis-sorted file.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native runtime unavailable: {_load_error}")
+    if not in_paths:
+        raise ValueError("merge_files needs at least one input")
+    from ibu_tpu.constructs.header import Header
+
+    first = None
+    for p in in_paths:
+        with open(p, "rb") as f:
+            h = Header.from_bytes(f.read(32))
+        h.validate()
+        if not h.sorted():
+            raise ValueError(f"{p}: sorted flag not set; sort it first")
+        if first is None:
+            first = (h.bc_len, h.umi_len)
+        elif (h.bc_len, h.umi_len) != first:
+            raise ValueError(
+                f"{p}: header (bc_len={h.bc_len}, umi_len={h.umi_len}) "
+                f"differs from {in_paths[0]} {first}"
+            )
+    arr = (ctypes.c_char_p * len(in_paths))(
+        *[p.encode() for p in in_paths]
+    )
+    _check(
+        lib.ibu_merge_files(arr, len(in_paths), out_path.encode()),
+        "merge_files",
+    )

@@ -396,4 +396,110 @@ done:
   return rc;
 }
 
+// k-way merge of ALREADY-SORTED IBU files into one sorted file.
+// The output header is the first input's header with the sorted bit set
+// (the Python binding validates header compatibility before calling).
+// Per-run order is verified while merging: an input that is not actually
+// sorted returns -EILSEQ instead of emitting a mis-sorted "sorted" file.
+int ibu_merge_files(const char* const* in_paths, uint64_t n_inputs,
+                    const char* out_path) {
+  if (n_inputs == 0) return -EINVAL;
+  std::vector<RunReader> runs(n_inputs);
+  uint8_t header[32];
+  int rc = 0;
+  for (uint64_t r = 0; r < n_inputs; ++r) {
+    runs[r].fd = ::open(in_paths[r], O_RDONLY);
+    if (runs[r].fd < 0) { rc = -errno; goto fail_open; }
+    struct stat st;
+    if (::fstat(runs[r].fd, &st) != 0) { rc = -errno; goto fail_open; }
+    uint64_t size = static_cast<uint64_t>(st.st_size);
+    if (size < 32 || (size - 32) % RECORD_SIZE != 0) {
+      rc = -EINVAL;
+      goto fail_open;
+    }
+    uint8_t h[32];
+    if (::read(runs[r].fd, h, 32) != 32) { rc = -EIO; goto fail_open; }
+    if (r == 0) std::memcpy(header, h, 32);
+    runs[r].buf.resize(1 << 16);
+    runs[r].remaining = (size - 32) / RECORD_SIZE;
+    if (runs[r].refill() < 0) { rc = -EIO; goto fail_open; }
+  }
+  goto opened;
+fail_open:
+  for (auto& rr : runs) if (rr.fd >= 0) ::close(rr.fd);
+  return rc;
+opened:
+
+  {
+    int out_fd = ::open(out_path, O_WRONLY | O_CREAT | O_TRUNC, 0644);
+    if (out_fd < 0) {
+      rc = -errno;
+      for (auto& rr : runs) ::close(rr.fd);
+      return rc;
+    }
+    header[16] |= 1;  // sorted flag, bit 0 of the u64 at offset 16
+    if (::write(out_fd, header, 32) != 32) {
+      ::close(out_fd);
+      for (auto& rr : runs) ::close(rr.fd);
+      return -EIO;
+    }
+
+    using HeapItem = std::pair<IbuRecord, uint64_t>;
+    auto heap_greater = [](const HeapItem& a, const HeapItem& b) {
+      return record_less(b.first, a.first);
+    };
+    std::vector<HeapItem> heap;
+    for (uint64_t r = 0; r < n_inputs; ++r) {
+      if (runs[r].len > 0) heap.push_back({runs[r].buf[0], r});
+      runs[r].pos = 1;
+    }
+    std::make_heap(heap.begin(), heap.end(), heap_greater);
+
+    std::vector<IbuRecord> out_buf;
+    out_buf.reserve(1 << 16);
+    auto flush = [&]() -> int {
+      uint64_t bytes = out_buf.size() * sizeof(IbuRecord);
+      uint64_t off = 0;
+      const uint8_t* src = reinterpret_cast<const uint8_t*>(out_buf.data());
+      while (off < bytes) {
+        ssize_t w = ::write(out_fd, src + off, bytes - off);
+        if (w < 0) return -errno;
+        off += static_cast<uint64_t>(w);
+      }
+      out_buf.clear();
+      return 0;
+    };
+
+    while (!heap.empty()) {
+      std::pop_heap(heap.begin(), heap.end(), heap_greater);
+      HeapItem item = heap.back();
+      heap.pop_back();
+      out_buf.push_back(item.first);
+      if (out_buf.size() == out_buf.capacity()) {
+        if ((rc = flush()) != 0) goto done;
+      }
+      RunReader& rr = runs[item.second];
+      if (rr.pos >= rr.len) {
+        int st = rr.refill();  // resets pos to 0 on success
+        if (st < 0) { rc = -EIO; goto done; }
+        if (st == 0) continue;  // input cleanly exhausted
+      }
+      // sortedness check: the successor within a run must not sort
+      // before the record just emitted from that run
+      if (record_less(rr.buf[rr.pos], item.first)) {
+        rc = -EILSEQ;
+        goto done;
+      }
+      heap.push_back({rr.buf[rr.pos++], item.second});
+      std::push_heap(heap.begin(), heap.end(), heap_greater);
+    }
+    if (!out_buf.empty()) rc = flush();
+  done:
+    ::close(out_fd);
+    for (auto& rr : runs) ::close(rr.fd);
+    if (rc != 0) ::unlink(out_path);
+    return rc;
+  }
+}
+
 }  // extern "C"

@@ -177,3 +177,98 @@ class TestReviewRegressions:
         )
         out = native.sort_records(recs[::2])
         assert out["barcode"].tolist() == [1, 3, 5]
+
+
+class TestMergeFiles:
+    def _sorted_file(self, tmp_path, name, records):
+        from ibu_tpu import Header, Writer
+
+        records = np.sort(records, order=("barcode", "umi", "index"))
+        h = Header.new(16, 12)
+        h.set_sorted()
+        path = str(tmp_path / name)
+        with Writer.from_path(path, h) as w:
+            w.write_batch(records)
+        return path, records
+
+    def test_three_way_merge(self, tmp_path):
+        native = pytest.importorskip("ibu_tpu.native")
+        if not native.available():
+            pytest.skip(native.load_error())
+        rng = np.random.default_rng(70)
+        parts, paths = [], []
+        for k, n in enumerate((5000, 1, 70_000)):  # force run refills
+            recs = make_records(
+                rng.integers(0, 1 << 40, n, dtype=np.uint64),
+                rng.integers(0, 1 << 40, n, dtype=np.uint64),
+                rng.integers(0, 1 << 63, n, dtype=np.uint64),
+            )
+            p, srt = self._sorted_file(tmp_path, f"m{k}.ibu", recs)
+            parts.append(srt)
+            paths.append(p)
+        out = str(tmp_path / "merged.ibu")
+        native.merge_files(paths, out)
+        from ibu_tpu import MmapReader
+
+        r = MmapReader(out)
+        assert r.header().sorted()
+        got = np.asarray(r.records)
+        want = np.sort(np.concatenate(parts),
+                       order=("barcode", "umi", "index"))
+        assert np.array_equal(got, want)
+
+    def test_unsorted_input_rejected(self, tmp_path):
+        native = pytest.importorskip("ibu_tpu.native")
+        if not native.available():
+            pytest.skip(native.load_error())
+        from ibu_tpu import Header, Writer
+
+        h = Header.new(16, 12)
+        h.set_sorted()  # flag LIES: records are out of order
+        path = str(tmp_path / "lying.ibu")
+        with Writer.from_path(path, h) as w:
+            w.write_batch(make_records(
+                np.array([9, 1, 5], dtype=np.uint64),
+                np.zeros(3, dtype=np.uint64),
+                np.zeros(3, dtype=np.uint64),
+            ))
+        good, _ = self._sorted_file(
+            tmp_path, "good.ibu",
+            make_records(np.arange(10, dtype=np.uint64),
+                         np.zeros(10, dtype=np.uint64),
+                         np.zeros(10, dtype=np.uint64)),
+        )
+        out = str(tmp_path / "out.ibu")
+        with pytest.raises(OSError):
+            native.merge_files([good, path], out)
+        assert not (tmp_path / "out.ibu").exists()
+
+    def test_flag_and_header_validation(self, tmp_path):
+        native = pytest.importorskip("ibu_tpu.native")
+        if not native.available():
+            pytest.skip(native.load_error())
+        from ibu_tpu import Header, Writer
+
+        unsorted_path = str(tmp_path / "u.ibu")
+        with Writer.from_path(unsorted_path, Header.new(16, 12)) as w:
+            w.write_batch(make_records(np.arange(3, dtype=np.uint64),
+                                       np.zeros(3, dtype=np.uint64),
+                                       np.zeros(3, dtype=np.uint64)))
+        with pytest.raises(ValueError, match="sorted flag"):
+            native.merge_files([unsorted_path], str(tmp_path / "o.ibu"))
+
+        other = Header.new(8, 8)
+        other.set_sorted()
+        other_path = str(tmp_path / "o8.ibu")
+        with Writer.from_path(other_path, other) as w:
+            w.write_batch(make_records(np.arange(3, dtype=np.uint64),
+                                       np.zeros(3, dtype=np.uint64),
+                                       np.zeros(3, dtype=np.uint64)))
+        good, _ = self._sorted_file(
+            tmp_path, "g.ibu",
+            make_records(np.arange(3, dtype=np.uint64),
+                         np.zeros(3, dtype=np.uint64),
+                         np.zeros(3, dtype=np.uint64)),
+        )
+        with pytest.raises(ValueError, match="differs"):
+            native.merge_files([good, other_path], str(tmp_path / "o.ibu"))

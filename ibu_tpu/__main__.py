@@ -8,6 +8,7 @@ subcommands:
     python -m ibu_tpu stats data.ibu           # count + field checksums
     python -m ibu_tpu sort in.ibu out.ibu      # out-of-core sorted rewrite
     python -m ibu_tpu merge out.ibu a.ibu b.ibu   # k-way sorted merge
+    python -m ibu_tpu split in.ibu shard{}.ibu 4  # reference-rule partition
     python -m ibu_tpu histogram data.ibu       # per-barcode counts (top N)
     python -m ibu_tpu decode data.ibu          # records → TSV (bc, umi, idx)
     python -m ibu_tpu export-fastq data.ibu out.fastq.gz   # records → FASTQ
@@ -137,6 +138,15 @@ def cmd_decode(args) -> int:
     return 0
 
 
+def cmd_split(args) -> int:
+    from ibu_tpu.pipelines import split_file
+
+    paths = split_file(args.input, args.template, args.shards)
+    print(f"split {args.input} -> {len(paths)} shards "
+          f"({paths[0]} .. {paths[-1]})")
+    return 0
+
+
 def cmd_merge(args) -> int:
     from ibu_tpu import native
 
@@ -197,6 +207,12 @@ def main(argv=None) -> int:
     p.add_argument("path", help="IBU file, or - for stdin")
     p.add_argument("--limit", type=int, default=0)
     p.set_defaults(fn=cmd_decode)
+
+    p = sub.add_parser("split", help="partition into N standalone IBU shards")
+    p.add_argument("input")
+    p.add_argument("template", help="output name template, e.g. shard{}.ibu")
+    p.add_argument("shards", type=int)
+    p.set_defaults(fn=cmd_split)
 
     p = sub.add_parser("merge", help="k-way merge of sorted IBU files")
     p.add_argument("output")

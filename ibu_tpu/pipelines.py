@@ -275,3 +275,40 @@ def sort_file_device(
     with Writer.from_path(out_path, out_header) as w:
         w.write_batch(records_from_soa(sorted_soa))
     return out_header
+
+
+def split_file(
+    in_path: str, out_template: str, n_shards: int
+) -> list[str]:
+    """Partition an IBU file into ``n_shards`` standalone IBU files.
+
+    Shard boundaries follow the reference's contiguous remainder-to-last
+    rule (``/root/reference/src/io/mmap.rs:297-307`` via
+    :func:`ibu_tpu.parallel.host.partition`), so splitting here and
+    processing shards elsewhere reproduces exactly the reference engine's
+    per-thread record ranges. Each output carries a full copy of the input
+    header (a sorted input yields sorted shards, so ``split`` →
+    per-shard work → ``native.merge_files`` roundtrips). ``out_template``
+    is formatted with the shard number (e.g. ``"shard{}.ibu"``).
+    Zero-copy: each shard is one mmap slice handed to one writer.
+    """
+    from ibu_tpu.parallel.host import partition
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if out_template.format(0) == out_template.format(1):
+        raise ValueError(
+            f"out_template {out_template!r} must vary with the shard "
+            "number (add '{}' or a format field)"
+        )
+    reader = MmapReader(in_path)
+    header = reader.header()
+    bounds = partition(len(reader), n_shards)
+    paths = []
+    for shard, (start, end) in enumerate(bounds):
+        path = out_template.format(shard)
+        with Writer.from_path(path, header) as w:
+            if end > start:
+                w.write_batch(reader.slice(start, end))
+        paths.append(path)
+    return paths

@@ -254,3 +254,72 @@ class TestExportFastqGuards:
             raw, max_output_size=1 << 20
         ).splitlines()
         assert len(lines) == 200 and lines[1] == bytes(bc[0]) + bytes(umi[0])
+
+
+class TestSplitFile:
+    def test_split_matches_partition_rule_and_merge_roundtrips(self, tmp_path):
+        from ibu_tpu.constructs.header import Header
+        from ibu_tpu.io.mmap import MmapReader
+        from ibu_tpu.io.writer import Writer
+        from ibu_tpu.constructs.record import make_records
+        from ibu_tpu.parallel.host import partition
+        from ibu_tpu.pipelines import split_file
+
+        rng = np.random.default_rng(80)
+        n = 10_003  # remainder exercises remainder-to-last
+        records = np.sort(
+            make_records(
+                rng.integers(0, 1 << 40, n, dtype=np.uint64),
+                rng.integers(0, 1 << 40, n, dtype=np.uint64),
+                rng.integers(0, 1 << 40, n, dtype=np.uint64),
+            ),
+            order=("barcode", "umi", "index"),
+        )
+        h = Header.new(16, 12)
+        h.set_sorted()
+        src_path = str(tmp_path / "whole.ibu")
+        with Writer.from_path(src_path, h) as w:
+            w.write_batch(records)
+
+        paths = split_file(src_path, str(tmp_path / "sh{}.ibu"), 4)
+        assert len(paths) == 4
+        bounds = partition(n, 4)
+        for p, (start, end) in zip(paths, bounds):
+            r = MmapReader(p)
+            assert r.header().sorted()
+            assert len(r) == end - start
+            assert np.array_equal(np.asarray(r.records), records[start:end])
+
+        # split -> merge roundtrips byte-exactly
+        from ibu_tpu import native
+
+        if native.available():
+            merged = str(tmp_path / "merged.ibu")
+            native.merge_files(paths, merged)
+            assert (
+                open(merged, "rb").read() == open(src_path, "rb").read()
+            )
+
+    def test_bad_template_rejected(self, tmp_path):
+        from ibu_tpu.pipelines import split_file
+
+        with pytest.raises(ValueError, match="template"):
+            split_file("x.ibu", str(tmp_path / "same.ibu"), 2)
+
+    def test_more_shards_than_records(self, tmp_path):
+        from ibu_tpu.constructs.header import Header
+        from ibu_tpu.io.mmap import MmapReader
+        from ibu_tpu.io.writer import Writer
+        from ibu_tpu.constructs.record import make_records
+        from ibu_tpu.pipelines import split_file
+
+        src_path = str(tmp_path / "tiny.ibu")
+        with Writer.from_path(src_path, Header.new(16, 12)) as w:
+            w.write_batch(make_records(
+                np.arange(2, dtype=np.uint64),
+                np.zeros(2, dtype=np.uint64),
+                np.zeros(2, dtype=np.uint64),
+            ))
+        paths = split_file(src_path, str(tmp_path / "t{}.ibu"), 5)
+        sizes = [len(MmapReader(p)) for p in paths]
+        assert sum(sizes) == 2 and len(sizes) == 5

@@ -58,33 +58,11 @@ def synth_fastq(path: str, reads: int, prefix_len: int, seed: int = 0) -> None:
 
 
 def fastq_prefixes(path: str, prefix_len: int, batch: int = 200_000):
-    """Yield ``(N, prefix_len)`` ASCII arrays of read prefixes (batched).
+    """Yield ``(N, prefix_len)`` ASCII read-prefix arrays (see
+    :func:`ibu_tpu.pipelines.fastq_prefix_batches`, which this wraps)."""
+    from ibu_tpu.pipelines import fastq_prefix_batches
 
-    Reads shorter than ``prefix_len`` raise a clear error (slicing them
-    would otherwise smuggle newline bytes into barcodes or crash the
-    reshape with an opaque message).
-    """
-    opener = gzip.open if path.endswith(".gz") else open
-    buf = []
-    with opener(path, "rb") as f:
-        for lineno, line in enumerate(f):
-            if lineno % 4 == 1:  # sequence line
-                seq = line.rstrip(b"\r\n")
-                if len(seq) < prefix_len:
-                    raise ValueError(
-                        f"read at line {lineno + 1} is {len(seq)} bases, "
-                        f"shorter than bc_len+umi_len={prefix_len}"
-                    )
-                buf.append(seq[:prefix_len])
-                if len(buf) >= batch:
-                    yield np.frombuffer(b"".join(buf), dtype=np.uint8).reshape(
-                        len(buf), prefix_len
-                    )
-                    buf = []
-    if buf:
-        yield np.frombuffer(b"".join(buf), dtype=np.uint8).reshape(
-            len(buf), prefix_len
-        )
+    yield from fastq_prefix_batches(path, prefix_len, batch)
 
 
 def main() -> None:

@@ -11,6 +11,7 @@ subcommands:
     python -m ibu_tpu split in.ibu shard{}.ibu 4  # reference-rule partition
     python -m ibu_tpu histogram data.ibu       # per-barcode counts (top N)
     python -m ibu_tpu decode data.ibu          # records → TSV (bc, umi, idx)
+    python -m ibu_tpu ingest-fastq reads.fastq data.ibu     # FASTQ → sorted IBU
     python -m ibu_tpu export-fastq data.ibu out.fastq.gz   # records → FASTQ
 
 ``info``/``decode`` are pure host; ``stats``/``histogram``/``export-fastq``
@@ -159,6 +160,17 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_ingest_fastq(args) -> int:
+    from ibu_tpu.utils import apply_platform_env
+
+    apply_platform_env()
+    from ibu_tpu.pipelines import ingest_fastq
+
+    n = ingest_fastq(args.input, args.output, args.bc_len, args.umi_len)
+    print(f"# ingested {n} reads -> {args.output} (sorted)", file=sys.stderr)
+    return 0
+
+
 def cmd_export_fastq(args) -> int:
     from ibu_tpu.utils import apply_platform_env
 
@@ -218,6 +230,14 @@ def main(argv=None) -> int:
     p.add_argument("output")
     p.add_argument("inputs", nargs="+")
     p.set_defaults(fn=cmd_merge)
+
+    p = sub.add_parser("ingest-fastq",
+                       help="FASTQ → sorted IBU (encode+sort on device)")
+    p.add_argument("input", help="FASTQ file (.gz ok)")
+    p.add_argument("output", help="IBU output")
+    p.add_argument("--bc-len", type=int, default=16)
+    p.add_argument("--umi-len", type=int, default=12)
+    p.set_defaults(fn=cmd_ingest_fastq)
 
     p = sub.add_parser("export-fastq", help="records → FASTQ (decode on device)")
     p.add_argument("input", help="IBU file")

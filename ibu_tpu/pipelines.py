@@ -312,3 +312,90 @@ def split_file(
                 w.write_batch(reader.slice(start, end))
         paths.append(path)
     return paths
+
+
+def fastq_prefix_batches(
+    path: str, prefix_len: int, batch: int = 200_000
+):
+    """Yield ``(N, prefix_len)`` ASCII arrays of FASTQ read prefixes.
+
+    Gzip is detected by extension. Reads shorter than ``prefix_len``
+    raise a clear error (slicing them would otherwise smuggle newline
+    bytes into barcodes or crash the reshape with an opaque message).
+    """
+    import gzip
+
+    opener = gzip.open if path.endswith(".gz") else open
+    buf = []
+    with opener(path, "rb") as f:
+        for lineno, line in enumerate(f):
+            if lineno % 4 == 1:  # sequence line
+                seq = line.rstrip(b"\r\n")
+                if len(seq) < prefix_len:
+                    raise ValueError(
+                        f"read at line {lineno + 1} is {len(seq)} bases, "
+                        f"shorter than bc_len+umi_len={prefix_len}"
+                    )
+                buf.append(seq[:prefix_len])
+                if len(buf) >= batch:
+                    yield np.frombuffer(
+                        b"".join(buf), dtype=np.uint8
+                    ).reshape(len(buf), prefix_len)
+                    buf = []
+    if buf:
+        yield np.frombuffer(b"".join(buf), dtype=np.uint8).reshape(
+            len(buf), prefix_len
+        )
+
+
+def ingest_fastq(
+    fastq_path: str,
+    ibu_path: str,
+    bc_len: int,
+    umi_len: int,
+    batch: int = 200_000,
+    validate: bool = True,
+) -> int:
+    """FASTQ → sorted IBU file: the inverse of :func:`export_fastq`.
+
+    Read prefixes carry barcode (first ``bc_len`` bases) then UMI (next
+    ``umi_len``), 10x-style; the record index is the read number. Batches
+    encode on device, the whole set sorts once with header hints, and the
+    sorted flag is set. Returns the read count. Batch-first throughout —
+    no per-read Python in the hot path.
+    """
+    prefix_len = bc_len + umi_len
+    all_records = []
+    total = 0
+    for prefixes in fastq_prefix_batches(fastq_path, prefix_len, batch):
+        if validate:
+            C.np_validate_ascii(prefixes)  # reject N's etc. clearly
+        n = len(prefixes)
+        idx = np.arange(total, total + n, dtype=np.uint64)
+        all_records.append(
+            encode_batch(
+                np.ascontiguousarray(prefixes[:, :bc_len]),
+                np.ascontiguousarray(prefixes[:, bc_len:]),
+                idx,
+            )
+        )
+        total += n
+    from ibu_tpu.constructs.record import RECORD_DTYPE
+
+    records = (
+        np.concatenate(all_records)
+        if all_records
+        else np.empty(0, dtype=RECORD_DTYPE)
+    )
+    records = sort_batch(
+        records,
+        bc_len=bc_len,
+        umi_len=umi_len,
+        index_bits=32 if total <= (1 << 32) else None,
+    )
+    header = Header.new(bc_len, umi_len)
+    header.set_sorted()
+    with Writer.from_path(ibu_path, header) as w:
+        w.write_batch(records)
+    return total
+

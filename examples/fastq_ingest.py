@@ -23,15 +23,13 @@ sys.path[:] = [p for p in sys.path if _os.path.abspath(p or ".") != _HERE]
 sys.path.insert(0, _os.path.dirname(_HERE))
 
 import argparse
-import gzip
 import os
 import sys
 import time
 
 import numpy as np
 
-from ibu_tpu import Header, MmapReader, Writer
-from ibu_tpu.ops import codec as C
+from ibu_tpu import MmapReader
 from ibu_tpu.utils import apply_platform_env
 
 apply_platform_env()
@@ -83,67 +81,15 @@ def main() -> None:
         print(f"Generating {args.reads} synthetic reads...")
         synth_fastq(fastq, args.reads, prefix_len)
 
-    import jax
-    import jax.numpy as jnp
-
-    from ibu_tpu.ops.codec_pallas import encode_records
-    from ibu_tpu.ops.stats import sort_records_soa
-    from ibu_tpu.ops.u64 import records_from_soa
-
-    use_pallas = jax.default_backend() == "tpu"
+    from ibu_tpu.pipelines import ingest_fastq
 
     print("Ingesting...")
     t0 = time.perf_counter()
-    all_records = []
-    total = 0
-    read_index = 0
-    for prefixes in fastq_prefixes(fastq, prefix_len):
-        C.np_validate_ascii(prefixes)  # reject N's etc. with a clear error
-        n = len(prefixes)
-        bc_planes = jnp.asarray(np.ascontiguousarray(prefixes[:, : args.bc_len].T))
-        umi_planes = jnp.asarray(np.ascontiguousarray(prefixes[:, args.bc_len :].T))
-        idx = np.stack(
-            [
-                (np.arange(read_index, read_index + n) & 0xFFFFFFFF).astype(
-                    np.uint32
-                ),
-                (np.arange(read_index, read_index + n) >> 32).astype(np.uint32),
-            ]
-        )
-        if use_pallas:
-            soa = encode_records(bc_planes, umi_planes, jnp.asarray(idx))
-        else:
-            soa = jnp.concatenate(
-                [
-                    C.lax_encode_planes(bc_planes),
-                    C.lax_encode_planes(umi_planes),
-                    jnp.asarray(idx),
-                ]
-            )
-        all_records.append(records_from_soa(np.asarray(soa)))
-        total += n
-        read_index += n
-    records = np.concatenate(all_records)
-    encode_s = time.perf_counter() - t0
-    print(f"  encoded {total} reads in {encode_s:.2f}s "
-          f"({total/max(encode_s,1e-9)/1e6:.2f} M reads/s)")
-
-    t0 = time.perf_counter()
-    soa_sorted = sort_records_soa(
-        jnp.asarray(
-            np.ascontiguousarray(records.view(np.uint32).reshape(-1, 6).T)
-        ),
-        bc_len=args.bc_len,
-        umi_len=args.umi_len,
-        index_bits=32 if total <= (1 << 32) else None,
-    )
-    records_sorted = records_from_soa(np.asarray(soa_sorted))
-    header = Header.new(args.bc_len, args.umi_len)
-    header.set_sorted()
-    with Writer.from_path(args.out, header) as w:
-        w.write_batch(records_sorted)
-    print(f"  sorted+wrote {os.path.getsize(args.out)/1e6:.1f} MB in "
-          f"{time.perf_counter()-t0:.2f}s")
+    total = ingest_fastq(fastq, args.out, args.bc_len, args.umi_len)
+    dt = time.perf_counter() - t0
+    print(f"  ingested {total} reads -> "
+          f"{os.path.getsize(args.out)/1e6:.1f} MB sorted IBU in {dt:.2f}s "
+          f"({total/max(dt,1e-9)/1e6:.2f} M reads/s)")
 
     # read back and summarize with the parallel engine
     from ibu_tpu.parallel.device import stream_file_stats

@@ -239,6 +239,18 @@ def merge_files(in_paths: list[str], out_path: str) -> None:
         raise RuntimeError(f"native runtime unavailable: {_load_error}")
     if not in_paths:
         raise ValueError("merge_files needs at least one input")
+    # out_path aliasing an input would O_TRUNC that input mid-merge and
+    # then unlink it on the resulting failure — refuse up front
+    for p in in_paths:
+        if os.path.exists(p) and os.path.exists(out_path):
+            same = os.path.samefile(p, out_path)
+        else:
+            same = os.path.realpath(p) == os.path.realpath(out_path)
+        if same:
+            raise ValueError(
+                f"output {out_path!r} is the same file as input {p!r}; "
+                "merge to a different path"
+            )
     from ibu_tpu.constructs.header import Header
 
     first = None

@@ -440,6 +440,7 @@ opened:
     header[16] |= 1;  // sorted flag, bit 0 of the u64 at offset 16
     if (::write(out_fd, header, 32) != 32) {
       ::close(out_fd);
+      ::unlink(out_path);  // no 32-byte stub on failure
       for (auto& rr : runs) ::close(rr.fd);
       return -EIO;
     }
@@ -495,7 +496,9 @@ opened:
     }
     if (!out_buf.empty()) rc = flush();
   done:
-    ::close(out_fd);
+    // deferred write errors (NFS, quota) surface at close; a failed close
+    // must not report a truncated file as a successful sorted merge
+    if (::close(out_fd) != 0 && rc == 0) rc = -errno;
     for (auto& rr : runs) ::close(rr.fd);
     if (rc != 0) ::unlink(out_path);
     return rc;

@@ -360,26 +360,58 @@ def ingest_fastq(
 
     Read prefixes carry barcode (first ``bc_len`` bases) then UMI (next
     ``umi_len``), 10x-style; the record index is the read number. Batches
-    encode on device, the whole set sorts once with header hints, and the
-    sorted flag is set. Returns the read count. Batch-first throughout —
-    no per-read Python in the hot path.
+    encode on device and stream to disk; sorting is out-of-core (native
+    external merge sort) so memory stays bounded at one batch for
+    arbitrarily large FASTQs (in-memory device sort fallback when the
+    native runtime is unavailable). The sorted flag is set. Returns the
+    read count. Batch-first throughout — no per-read Python in the hot
+    path.
     """
+    import os
+
+    from ibu_tpu import native
+
     prefix_len = bc_len + umi_len
+    header = Header.new(bc_len, umi_len)
+    # Stream encoded batches to an UNSORTED sibling file, then sort it
+    # out-of-core with the native external merge sort: ingestion memory
+    # stays bounded at one batch regardless of FASTQ size. Without the
+    # native runtime, fall back to in-memory accumulation + device sort.
+    out_of_core = native.available()
+    tmp_path = ibu_path + ".unsorted" if out_of_core else None
     all_records = []
     total = 0
-    for prefixes in fastq_prefix_batches(fastq_path, prefix_len, batch):
-        if validate:
-            C.np_validate_ascii(prefixes)  # reject N's etc. clearly
-        n = len(prefixes)
-        idx = np.arange(total, total + n, dtype=np.uint64)
-        all_records.append(
-            encode_batch(
-                np.ascontiguousarray(prefixes[:, :bc_len]),
-                np.ascontiguousarray(prefixes[:, bc_len:]),
-                idx,
+    sink = Writer.from_path(tmp_path, header) if out_of_core else None
+    try:
+        for prefixes in fastq_prefix_batches(fastq_path, prefix_len, batch):
+            if validate:
+                C.np_validate_ascii(prefixes)  # reject N's etc. clearly
+            n = len(prefixes)
+            idx = np.arange(total, total + n, dtype=np.uint64)
+            # slices pass straight through: encode_batch's rows_to_planes
+            # copies once on transpose either way
+            records = encode_batch(
+                prefixes[:, :bc_len], prefixes[:, bc_len:], idx
             )
-        )
-        total += n
+            if sink is not None:
+                sink.write_batch(records)
+            else:
+                all_records.append(records)
+            total += n
+    except Exception:
+        if sink is not None:
+            sink.close()
+            os.unlink(tmp_path)
+        raise
+
+    if sink is not None:
+        sink.close()
+        try:
+            native.sort_file(tmp_path, ibu_path)
+        finally:
+            os.unlink(tmp_path)
+        return total
+
     from ibu_tpu.constructs.record import RECORD_DTYPE
 
     records = (
@@ -393,7 +425,6 @@ def ingest_fastq(
         umi_len=umi_len,
         index_bits=32 if total <= (1 << 32) else None,
     )
-    header = Header.new(bc_len, umi_len)
     header.set_sorted()
     with Writer.from_path(ibu_path, header) as w:
         w.write_batch(records)

@@ -272,3 +272,21 @@ class TestMergeFiles:
         )
         with pytest.raises(ValueError, match="differs"):
             native.merge_files([good, other_path], str(tmp_path / "o.ibu"))
+
+    def test_output_aliasing_input_refused(self, tmp_path):
+        """merge out==input would O_TRUNC the input mid-merge (data loss)."""
+        native = pytest.importorskip("ibu_tpu.native")
+        if not native.available():
+            pytest.skip(native.load_error())
+        path, _ = self._sorted_file(
+            tmp_path, "a.ibu",
+            make_records(np.arange(5, dtype=np.uint64),
+                         np.zeros(5, dtype=np.uint64),
+                         np.zeros(5, dtype=np.uint64)),
+        )
+        with pytest.raises(ValueError, match="same file"):
+            native.merge_files([path], path)
+        # input untouched
+        from ibu_tpu import MmapReader
+
+        assert len(MmapReader(path)) == 5

@@ -44,6 +44,13 @@ class _PeekableStream(io.RawIOBase):
         self._prefix = prefix
         self._inner = inner
 
+    @property
+    def name(self):
+        """The wrapped stream's filesystem name, when it has one — lets
+        :meth:`ibu_tpu.io.reader.Reader.clone` identify plain disk files
+        beneath the sniffing wrapper."""
+        return getattr(self._inner, "name", None)
+
     def readable(self) -> bool:
         return True
 
@@ -154,6 +161,43 @@ def wrap_decompress(stream: BinaryIO) -> BinaryIO:
         zr = _zstd.ZstdDecompressor().stream_reader(replayed)
         return _ChainClosing(zr, replayed)  # type: ignore[return-value]
     raise CompressionError(f"unknown compression kind {kind!r}")
+
+
+class _RawFromRead(io.RawIOBase):
+    """Adapt a bare ``read()``-only object (e.g. :class:`_ChainClosing`) to
+    the raw-IO interface so it can sit under an :class:`io.BufferedReader`
+    (which provides ``readline``/iteration)."""
+
+    def __init__(self, inner):
+        self._inner = inner
+
+    def readable(self) -> bool:
+        return True
+
+    def readinto(self, b) -> int:
+        data = self._inner.read(len(b))
+        if not data:
+            return 0
+        b[: len(data)] = data
+        return len(data)
+
+    def close(self) -> None:
+        try:
+            self._inner.close()
+        finally:
+            super().close()
+
+
+def as_buffered(stream) -> io.BufferedReader:
+    """Ensure ``stream`` supports buffered line iteration.
+
+    Plain streams from :func:`open_decompressed` already are
+    :class:`io.BufferedReader`; decompression chains are wrapped. Closing
+    the result closes the full chain either way.
+    """
+    if isinstance(stream, io.BufferedReader):
+        return stream
+    return io.BufferedReader(_RawFromRead(stream), buffer_size=1 << 20)
 
 
 def open_decompressed(path: str) -> BinaryIO:

@@ -41,6 +41,44 @@ DEFAULT_BUFFER_RECORDS: int = 48 * 1024
 DEFAULT_BUFFER_SIZE: int = DEFAULT_BUFFER_RECORDS * RECORD_SIZE
 
 
+def _clone_stream(inner: BinaryIO, fallback_pos: int) -> BinaryIO:
+    """Duplicate a binary stream with an independent read position.
+
+    Supports :class:`io.BytesIO` and on-disk plain files (reopened by path
+    — ``dup``'d fds would share their offset). ``fallback_pos`` is the
+    logical stream position (the Reader's ``bytes_read``), used when the
+    stream cannot ``tell()`` (the non-seekable sniffing wrapper around
+    plain files). Raises :class:`TypeError` for non-cloneable streams — the
+    runtime analog of the reference's ``R: Clone`` bound (``reader.rs:90``).
+    """
+    import io
+
+    if isinstance(inner, io.BytesIO):
+        dup = io.BytesIO(inner.getvalue())
+        dup.seek(inner.tell())
+        return dup
+    name = getattr(inner, "name", None)
+    # decompression chains (gzip/zstd) never expose a clean byte-position
+    # mapping to the file; they are excluded by type (no ``name``)
+    if isinstance(name, str) and os.path.isfile(name):
+        try:
+            pos = inner.tell()
+        except (OSError, ValueError, AttributeError):
+            pos = fallback_pos
+        dup = open(name, "rb")
+        try:
+            dup.seek(pos)
+        except OSError:
+            dup.close()
+            raise
+        return dup
+    raise TypeError(
+        f"Reader over {type(inner).__name__} is not cloneable; only BytesIO "
+        "and plain disk files support clone() (the reference requires "
+        "R: Clone, reader.rs:90)"
+    )
+
+
 class Reader:
     """Buffered streaming reader of IBU record streams."""
 
@@ -78,6 +116,35 @@ class Reader:
         if path is None:
             return cls.from_stdin()
         return cls.from_path(path)
+
+    # -- clone (ref ``reader.rs:90`` derives Clone, tested ``:655-666``) ---
+
+    def clone(self) -> "Reader":
+        """Duplicate this reader, including its buffer state and stream
+        position, for cloneable inner streams.
+
+        The reference ``Reader<R>`` derives ``Clone`` whenever ``R: Clone``
+        (``reader.rs:90``); its clone test duplicates a ``Cursor`` mid-stream
+        and reads the remaining records from both (``reader.rs:655-666``).
+        Python has no ``Clone`` bound, so cloneability is checked at runtime:
+
+        * :class:`io.BytesIO` — duplicated with an independent position;
+        * seekable plain files with a filesystem ``name`` — reopened and
+          sought to the current offset (an independent fd, because ``dup``'d
+          fds share their offset);
+        * anything else (stdin, gzip/zstd decompression chains) raises
+          :class:`TypeError`, the runtime analog of ``R: !Clone`` failing to
+          compile.
+        """
+        new = object.__new__(Reader)
+        new._inner = _clone_stream(self._inner, self._bytes_read)
+        new._header = Header.from_bytes(self._header.as_bytes())
+        new._buffer = bytearray(self._buffer)
+        new._pos = self._pos
+        new._cap = self._cap
+        new._bytes_read = self._bytes_read
+        new._eof = self._eof
+        return new
 
     # -- accessors --------------------------------------------------------
 

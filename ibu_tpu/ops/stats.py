@@ -170,12 +170,23 @@ def sort_records_soa(
     no hints this is the exact full-width sort. ``check=True`` verifies
     dropped words really are all-zero on device (one tiny sync; raises
     ``ValueError`` on a violated hint instead of silently mis-sorting).
+
+    Jit note: the hint verification is a host-side sync, so ``check=True``
+    with hints cannot run under an outer ``jax.jit`` (a clear ``ValueError``
+    is raised rather than jax's opaque ``TracerArrayConversionError``).
+    Inside jit, pass ``check=False`` (caller-verified hints) or no hints.
     """
     hi_used = (
         bc_len is None or bc_len > 16,
         umi_len is None or umi_len > 16,
         index_bits is None or index_bits > 32,
     )
+    if check and not all(hi_used) and isinstance(soa, jax.core.Tracer):
+        raise ValueError(
+            "sort_records_soa(check=True) with hints verifies the hints on "
+            "the host and cannot be traced under jit; pass check=False "
+            "(with caller-verified hints) or drop the hints"
+        )
     if check and not all(hi_used):
         import numpy as np  # local: host sync point
 

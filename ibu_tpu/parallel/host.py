@@ -76,7 +76,7 @@ def process_parallel(
         and not hasattr(processor, "process_record")
     )
 
-    errors: list[BaseException | None] = [None] * num_threads
+    errors: list[Exception | None] = [None] * num_threads
 
     def worker(tid: int, start: int, end: int) -> None:
         thread_reader = reader.clone()
@@ -100,7 +100,9 @@ def process_parallel(
                         )
                 thread_processor.on_batch_complete()
                 batch_start += batch_size
-        except BaseException as e:  # propagate first failure (mmap.rs:326-329)
+        except Exception as e:  # propagate first failure (mmap.rs:326-329);
+            # KeyboardInterrupt/SystemExit deliberately NOT converted to
+            # ProcessError — interrupts must propagate as themselves
             errors[tid] = e
 
     threads = []

@@ -219,9 +219,12 @@ def export_fastq(
     """
     from ibu_tpu.io.compression import open_compressed
 
-    if len(qual) != 1 or not 0 <= ord(qual) < 256:
+    # Phred+33 printable range only: anything outside '!'..'~' (notably
+    # '\n' or '@') would structurally corrupt the 4-line FASTQ framing.
+    if len(qual) != 1 or not 0x21 <= ord(qual) <= 0x7E:
         raise ValueError(
-            f"qual must be a single ASCII character, got {qual!r}"
+            f"qual must be a single printable Phred+33 character "
+            f"('!'..'~'), got {qual!r}"
         )
     reader = MmapReader(ibu_path)
     h = reader.header()
@@ -319,15 +322,17 @@ def fastq_prefix_batches(
 ):
     """Yield ``(N, prefix_len)`` ASCII arrays of FASTQ read prefixes.
 
-    Gzip is detected by extension. Reads shorter than ``prefix_len``
-    raise a clear error (slicing them would otherwise smuggle newline
-    bytes into barcodes or crash the reshape with an opaque message).
+    Compression (gzip/zstd) is detected by magic-byte sniffing, the same
+    convention as :func:`ibu_tpu.io.compression.open_decompressed` (and the
+    reference's niffler) — a gzipped FASTQ without a ``.gz`` suffix works.
+    Reads shorter than ``prefix_len`` raise a clear error (slicing them
+    would otherwise smuggle newline bytes into barcodes or crash the
+    reshape with an opaque message).
     """
-    import gzip
+    from ibu_tpu.io.compression import as_buffered, open_decompressed
 
-    opener = gzip.open if path.endswith(".gz") else open
     buf = []
-    with opener(path, "rb") as f:
+    with as_buffered(open_decompressed(path)) as f:
         for lineno, line in enumerate(f):
             if lineno % 4 == 1:  # sequence line
                 seq = line.rstrip(b"\r\n")
@@ -366,13 +371,20 @@ def ingest_fastq(
     native runtime is unavailable). The sorted flag is set. Returns the
     read count. Batch-first throughout — no per-read Python in the hot
     path.
+
+    A ``.gz``/``.zst`` output path yields compressed output, matching
+    :func:`export_fastq` and ``Writer.from_path(compression="auto")``
+    (the out-of-core sort emits a plain sibling that is then
+    stream-compressed into place).
     """
     import os
 
     from ibu_tpu import native
+    from ibu_tpu.io.compression import infer_compression
 
     prefix_len = bc_len + umi_len
     header = Header.new(bc_len, umi_len)
+    out_compression = infer_compression(ibu_path)
     # Stream encoded batches to an UNSORTED sibling file, then sort it
     # out-of-core with the native external merge sort: ingestion memory
     # stays bounded at one batch regardless of FASTQ size. Without the
@@ -406,8 +418,22 @@ def ingest_fastq(
 
     if sink is not None:
         sink.close()
+        # the native sort writes plain bytes; compress into place afterward
+        # when the output extension asks for it
+        sort_dst = ibu_path + ".sorted" if out_compression else ibu_path
         try:
-            native.sort_file(tmp_path, ibu_path)
+            native.sort_file(tmp_path, sort_dst)
+            if out_compression:
+                from ibu_tpu.io.compression import open_compressed
+
+                try:
+                    with open(sort_dst, "rb") as src, open_compressed(
+                        ibu_path, out_compression
+                    ) as dst:
+                        while chunk := src.read(1 << 22):
+                            dst.write(chunk)
+                finally:
+                    os.unlink(sort_dst)
         finally:
             os.unlink(tmp_path)
         return total
@@ -426,7 +452,7 @@ def ingest_fastq(
         index_bits=32 if total <= (1 << 32) else None,
     )
     header.set_sorted()
-    with Writer.from_path(ibu_path, header) as w:
+    with Writer.from_path(ibu_path, header, compression="auto") as w:
         w.write_batch(records)
     return total
 

@@ -229,9 +229,28 @@ class TestExportFastqGuards:
     def test_bad_qual_rejected(self, tmp_path):
         from ibu_tpu.pipelines import export_fastq
 
-        for bad in ("", "II", "你"):
-            with pytest.raises(ValueError, match="single ASCII"):
+        # non-printable / framing-corrupting quals must be rejected too:
+        # a '\n' qual would emit 5-line records, ' ' and '\x00' are outside
+        # the Phred+33 range (ADVICE r1)
+        for bad in ("", "II", "你", "\n", " ", "\x00", "\x7f"):
+            with pytest.raises(ValueError, match="Phred"):
                 export_fastq("x.ibu", str(tmp_path / "x.fastq"), qual=bad)
+
+    def test_qual_range_edges_accepted(self, tmp_path):
+        from ibu_tpu.constructs.header import Header
+        from ibu_tpu.io.writer import Writer
+        from ibu_tpu.pipelines import encode_batch, export_fastq
+
+        bc = random_seqs(4, 16, 70)
+        umi = random_seqs(4, 12, 71)
+        path = str(tmp_path / "q.ibu")
+        with Writer.from_path(path, Header.new(16, 12)) as w:
+            w.write_batch(encode_batch(bc, umi, np.arange(4, dtype=np.uint64)))
+        for ok in ("!", "~", "@"):  # '@' is fine as a QUAL char (line 4)
+            out = str(tmp_path / f"q{ord(ok)}.fastq")
+            export_fastq(path, out, qual=ok)
+            lines = open(out, "rb").read().splitlines()
+            assert len(lines) == 16 and lines[3] == ok.encode() * 28
 
     def test_zst_output(self, tmp_path):
         pytest.importorskip("zstandard")
@@ -384,3 +403,54 @@ class TestIngestFastq:
         fq.write_bytes(b"@r0\nACGT\n+\nIIII\n")
         with pytest.raises(ValueError, match="shorter than"):
             ingest_fastq(str(fq), str(tmp_path / "s.ibu"), 16, 12)
+
+    def test_gzip_fastq_without_gz_suffix(self, tmp_path):
+        """Compression is sniffed by magic bytes, not extension (ADVICE r1):
+        a gzipped FASTQ named '.fastq' must ingest identically."""
+        import gzip
+
+        from ibu_tpu.io.mmap import MmapReader
+        from ibu_tpu.pipelines import ingest_fastq
+
+        seq = b"ACGTACGTACGTACGTACGTACGTACGT"  # 16 + 12
+        fastq = b"".join(
+            b"@r%d\n%s\n+\n%s\n" % (i, seq, b"I" * len(seq)) for i in range(64)
+        )
+        plain = tmp_path / "p.fastq"
+        plain.write_bytes(fastq)
+        sneaky = tmp_path / "sneaky.fastq"  # gzip bytes, no .gz suffix
+        sneaky.write_bytes(gzip.compress(fastq))
+
+        out_a, out_b = str(tmp_path / "a.ibu"), str(tmp_path / "b.ibu")
+        assert ingest_fastq(str(plain), out_a, 16, 12) == 64
+        assert ingest_fastq(str(sneaky), out_b, 16, 12) == 64
+        assert np.array_equal(
+            np.asarray(MmapReader(out_a).records),
+            np.asarray(MmapReader(out_b).records),
+        )
+
+    @pytest.mark.parametrize("force_fallback", [False, True])
+    def test_compressed_output_path(self, tmp_path, monkeypatch, force_fallback):
+        """A .gz output path yields gzip output on BOTH the out-of-core
+        (native sort + recompress) and in-memory fallback paths (ADVICE r1)."""
+        from ibu_tpu import native
+        from ibu_tpu.io.reader import Reader
+        from ibu_tpu.pipelines import ingest_fastq
+
+        if force_fallback:
+            monkeypatch.setattr(native, "available", lambda: False)
+        elif not native.available():
+            pytest.skip("native runtime unavailable")
+
+        seq = b"TTGCACGTAAGTCCGGAAGTCCGGTTGA"
+        fastq = b"".join(
+            b"@r%d\n%s\n+\n%s\n" % (i, seq, b"I" * len(seq)) for i in range(10)
+        )
+        fq = tmp_path / "c.fastq"
+        fq.write_bytes(fastq)
+        out = str(tmp_path / "c.ibu.gz")
+        assert ingest_fastq(str(fq), out, 16, 12) == 10
+        assert open(out, "rb").read(2) == b"\x1f\x8b"  # really gzip
+        r = Reader.from_path(out)
+        assert r.header().sorted()
+        assert sum(len(b) for b in r.batches()) == 10

@@ -198,3 +198,44 @@ class TestResourceManagement:
         truncation errors when the buffer fills completely."""
         r = Reader(build_stream(100), buffer_size=100)  # → 96 bytes, 4 recs
         assert len(list(r)) == 100
+
+
+class TestClone:
+    """Reader.clone() parity with the reference's derived Clone
+    (reader.rs:90, test at reader.rs:655-666)."""
+
+    def test_clone_mid_stream_bytesio(self):
+        """The reference clone test: read half, clone, both finish
+        identically from the clone point."""
+        r = Reader(build_stream(10))
+        first = [next(r) for _ in range(5)]
+        c = r.clone()
+        rest_r = list(r)
+        rest_c = list(c)
+        assert rest_r == rest_c
+        assert len(first) + len(rest_r) == 10
+        assert c.bytes_read == r.bytes_read
+
+    def test_clone_state_is_independent(self):
+        r = Reader(build_stream(100, header=Header.new(8, 8)))
+        c = r.clone()
+        list(r)  # exhaust the original
+        assert len(list(c)) == 100  # clone unaffected
+        assert c.header().bc_len == 8
+
+    def test_clone_plain_file(self, tmp_path):
+        p = tmp_path / "c.ibu"
+        p.write_bytes(build_stream(50).getvalue())
+        r = Reader.from_path(str(p))
+        next(r)
+        c = r.clone()
+        assert len(list(c)) == len(list(r))
+
+    def test_clone_uncloneable_inner_raises(self, tmp_path):
+        """gzip decompression chains are not cloneable — the runtime
+        analog of R: !Clone failing to compile."""
+        p = tmp_path / "c.ibu.gz"
+        p.write_bytes(gzip.compress(build_stream(5).getvalue()))
+        r = Reader.from_path(str(p))
+        with pytest.raises(TypeError, match="not cloneable"):
+            r.clone()

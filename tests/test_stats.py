@@ -189,3 +189,29 @@ class TestHintedSort:
         )
         want = np.sort(records, order=("barcode", "umi", "index"))
         assert np.array_equal(got, want)
+
+
+class TestSortJitRestriction:
+    def test_checked_hints_under_jit_raise_clearly(self):
+        """check=True with hints needs a host sync; under an outer jit it
+        must raise a clear ValueError, not TracerArrayConversionError
+        (ADVICE r1). check=False stays fully traceable."""
+        import jax
+        import jax.numpy as jnp
+
+        from ibu_tpu.ops.stats import sort_records_soa
+
+        soa = jnp.zeros((6, 8), jnp.uint32)
+
+        @jax.jit
+        def bad(x):
+            return sort_records_soa(x, bc_len=8, check=True)
+
+        with pytest.raises(ValueError, match="cannot be traced"):
+            bad(soa)
+
+        @jax.jit
+        def good(x):
+            return sort_records_soa(x, bc_len=8, check=False)
+
+        assert good(soa).shape == (6, 8)

@@ -228,11 +228,31 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace into DIR")
+    ap.add_argument("--no-validate", action="store_true",
+                    help="skip the on-device oracle validation matrix")
     args = ap.parse_args()
 
     backend = jax.default_backend()
     use_pallas = backend == "tpu"
     log(f"backend: {backend} devices: {jax.devices()} pallas: {use_pallas}")
+
+    # On-device validation first (VERDICT r1 #4): every benchmark record is
+    # accompanied by a compiled-kernel pass/fail artifact, so a regression
+    # in the Mosaic path can't hide behind a healthy-looking GB/s number.
+    validate_summary = "skipped"
+    if not args.no_validate:
+        from ibu_tpu.validate import run_matrix, write_artifact
+
+        results = run_matrix()
+        record = write_artifact(
+            __file__.rsplit("/", 1)[0] + "/TPU_VALIDATE.json", results
+        )
+        validate_summary = f"{record['passed']}/{len(results)}"
+        for name, ok in results:
+            if not ok:
+                log(f"VALIDATE FAIL: {name}")
+        log(f"on-device validation: {validate_summary} pass "
+            f"(TPU_VALIDATE.json)")
 
     from ibu_tpu.ops.codec_pallas import DEFAULT_TILE_N
 
@@ -261,6 +281,7 @@ def main() -> None:
                 "value": round(r["gbps"], 2),
                 "unit": "GB/s",
                 "vs_baseline": round(r["gbps"] / BASELINE_GBPS, 3),
+                "validate": validate_summary,
             }
         )
     )

@@ -1,0 +1,218 @@
+"""On-device validation matrix: oracle checks against the compiled kernels.
+
+The CI suite exercises Pallas kernels in interpret mode on CPU; this module
+re-runs the oracle comparisons against the **Mosaic-compiled** kernels on
+whatever accelerator jax selected — catching compiled-vs-interpreted
+semantic drift (integer wraparound, tiling relayouts, masked lanes).
+
+Run via ``python tools/tpu_validate.py`` for a CLI, or automatically as
+part of ``python bench.py`` (every benchmark record ships with a
+compiled-kernel pass/fail artifact, ``TPU_VALIDATE.json``). Mirrors the
+reference's tests-encode-the-truth stance (SURVEY §4;
+``/root/reference/src/io/mmap.rs:454-481``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _random_rows(n, L, seed=0, lowercase=False):
+    rng = np.random.default_rng(seed)
+    al = np.frombuffer(b"acgt" if lowercase else b"ACGT", dtype=np.uint8)
+    return al[rng.integers(0, 4, size=(n, L))]
+
+
+def run_matrix(progress=None) -> list[tuple[str, bool]]:
+    """Run every oracle check on the current default backend.
+
+    Returns ``[(check_name, passed), ...]``. ``progress`` is an optional
+    callable invoked with each result line as it lands (for streaming CLI
+    output). Device code compiles through the persistent cache, so warm
+    runs take seconds.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ibu_tpu.constructs.record import make_records
+    from ibu_tpu.ops import codec as C
+    from ibu_tpu.ops.codec_pallas import (
+        decode_planes,
+        decode_records,
+        encode_planes,
+        encode_records,
+    )
+    from ibu_tpu.ops.stats import (
+        barcode_histogram,
+        barcode_histogram_np,
+        checksum_records_np,
+        checksum_soa,
+        sort_records_soa,
+    )
+    from ibu_tpu.ops.u64 import records_from_soa, soa_from_records
+
+    results: list[tuple[str, bool]] = []
+
+    def check(name: str, ok: bool) -> None:
+        results.append((name, bool(ok)))
+        if progress is not None:
+            progress(f"{'PASS' if ok else 'FAIL'} {name}")
+
+    # codec matrix: boundary lengths incl. the hi-word and bit-63 paths
+    for L in (1, 15, 16, 17, 31, 32):
+        rows = _random_rows(3000, L, seed=L)  # odd N exercises padding
+        planes = jnp.asarray(C.rows_to_planes(rows))
+        pair = encode_planes(planes)
+        check(
+            f"encode_planes L={L}",
+            np.array_equal(C.pair_to_words(np.asarray(pair)), C.np_pack(rows)),
+        )
+        back = decode_planes(pair, L)
+        check(
+            f"decode_planes L={L}",
+            np.array_equal(np.asarray(back), np.asarray(planes)),
+        )
+
+    # all-T 32-base: bit 63 set
+    words = C.pair_to_words(
+        np.asarray(
+            encode_planes(jnp.asarray(np.full((32, 256), ord("T"), np.uint8)))
+        )
+    )
+    check("bit63 all-T32", bool((words == 0xFFFFFFFFFFFFFFFF).all()))
+
+    # lowercase
+    rows = _random_rows(1000, 12, seed=9, lowercase=True)
+    pair = encode_planes(jnp.asarray(C.rows_to_planes(rows)))
+    check(
+        "lowercase encode",
+        np.array_equal(C.pair_to_words(np.asarray(pair)), C.np_pack(rows)),
+    )
+
+    # fused record kernels + salt
+    n = 5000
+    bc_rows = _random_rows(n, 16, seed=1)
+    umi_rows = _random_rows(n, 12, seed=2)
+    idx = np.arange(n, dtype=np.uint64) * np.uint64(11)
+    soa = encode_records(
+        jnp.asarray(C.rows_to_planes(bc_rows)),
+        jnp.asarray(C.rows_to_planes(umi_rows)),
+        jnp.asarray(C.words_to_pair(idx)),
+    )
+    recs = records_from_soa(np.asarray(soa))
+    check(
+        "fused encode barcode",
+        np.array_equal(recs["barcode"], C.np_pack(bc_rows)),
+    )
+    check("fused encode umi", np.array_equal(recs["umi"], C.np_pack(umi_rows)))
+    check("fused encode index", np.array_equal(recs["index"], idx))
+
+    salted = encode_records(
+        jnp.asarray(C.rows_to_planes(bc_rows)),
+        jnp.asarray(C.rows_to_planes(umi_rows)),
+        jnp.asarray(C.words_to_pair(idx)),
+        salt=jnp.uint32(0xA5A5A5A5),
+    )
+    srecs = records_from_soa(np.asarray(salted))
+    lo = (idx & np.uint64(0xFFFFFFFF)) ^ np.uint64(0xA5A5A5A5)
+    hi = (idx >> np.uint64(32)) ^ np.uint64(0xA5A5A5A5)
+    check(
+        "salt xor on index",
+        np.array_equal(srecs["index"], (hi << np.uint64(32)) | lo),
+    )
+
+    bc_p, umi_p, idx_p = decode_records(soa, 16, 12)
+    check(
+        "fused decode roundtrip",
+        np.array_equal(C.planes_to_rows(np.asarray(bc_p)), bc_rows)
+        and np.array_equal(C.planes_to_rows(np.asarray(umi_p)), umi_rows)
+        and np.array_equal(C.pair_to_words(np.asarray(idx_p)), idx),
+    )
+
+    # device sort vs host sort (with ties)
+    rng = np.random.default_rng(4)
+    records = make_records(
+        rng.integers(0, 32, 10_001, dtype=np.uint64),
+        rng.integers(0, 32, 10_001, dtype=np.uint64),
+        rng.integers(0, 1 << 63, 10_001, dtype=np.uint64),
+    )
+    got = records_from_soa(
+        np.asarray(sort_records_soa(jnp.asarray(soa_from_records(records))))
+    )
+    check(
+        "device sort",
+        np.array_equal(got, np.sort(records, order=("barcode", "umi", "index"))),
+    )
+
+    # hinted sort (dropped hi words) — the common bc16/umi12/idx<2^32 case
+    hinted_rec = make_records(
+        rng.integers(0, 1 << 32, 10_001, dtype=np.uint64),
+        rng.integers(0, 1 << 24, 10_001, dtype=np.uint64),
+        rng.permutation(10_001).astype(np.uint64),
+    )
+    got_h = records_from_soa(
+        np.asarray(
+            sort_records_soa(
+                jnp.asarray(soa_from_records(hinted_rec)),
+                bc_len=16,
+                umi_len=12,
+                index_bits=32,
+            )
+        )
+    )
+    check(
+        "device sort (hinted 3-op)",
+        np.array_equal(
+            got_h, np.sort(hinted_rec, order=("barcode", "umi", "index"))
+        ),
+    )
+
+    # checksums (limb pyramid) at u64 extremes
+    ext = make_records(
+        np.full(70_000, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64),
+        rng.integers(0, 1 << 63, 70_000, dtype=np.uint64),
+        np.arange(70_000, dtype=np.uint64),
+    )
+    check(
+        "checksum extremes",
+        checksum_soa(soa_from_records(ext)) == checksum_records_np(ext),
+    )
+
+    # histogram
+    hrec = make_records(
+        rng.integers(0, 300, 20_000, dtype=np.uint64),
+        rng.integers(0, 1 << 40, 20_000, dtype=np.uint64),
+        np.arange(20_000, dtype=np.uint64),
+    )
+    u_lo, u_hi, counts, n_uniq = barcode_histogram(
+        jnp.asarray(soa_from_records(hrec)), max_uniques=1024
+    )
+    want = barcode_histogram_np(hrec)
+    got_hist = {}
+    counts_np = np.asarray(counts)
+    for i in np.nonzero(counts_np)[0]:
+        got_hist[int(u_lo[i]) | (int(u_hi[i]) << 32)] = int(counts_np[i])
+    check("device histogram", got_hist == want and int(n_uniq) == len(want))
+
+    return results
+
+
+def write_artifact(path: str, results: list[tuple[str, bool]]) -> dict:
+    """Write the machine-readable pass/fail record alongside bench output."""
+    import json
+    import time
+
+    import jax
+
+    record = {
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+        "passed": sum(ok for _, ok in results),
+        "failed": sum(not ok for _, ok in results),
+        "checks": {name: ok for name, ok in results},
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    }
+    with open(path, "w") as f:
+        json.dump(record, f, indent=1)
+        f.write("\n")
+    return record

@@ -1,21 +1,18 @@
 #!/usr/bin/env python
 """On-device validation sweep: run the kernel test matrix on the real chip.
 
-The CI suite exercises Pallas kernels in interpret mode on CPU; this tool
-re-runs the oracle comparisons against the **Mosaic-compiled** kernels on
-whatever accelerator jax selects — catching compiled-vs-interpreted
-semantic drift (integer wraparound, tiling relayouts, masked lanes).
+Thin CLI over :mod:`ibu_tpu.validate` (the matrix also runs automatically
+inside ``bench.py``, so every benchmark artifact carries a compiled-kernel
+pass/fail record).
 
     python tools/tpu_validate.py
 
-Exits nonzero on any mismatch; prints one PASS line per check.
+Exits nonzero on any mismatch; prints one PASS/FAIL line per check.
 """
 
 from __future__ import annotations
 
 import sys
-
-import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
@@ -24,167 +21,20 @@ from ibu_tpu.utils import apply_platform_env
 apply_platform_env()
 
 import jax
-import jax.numpy as jnp
 
-from ibu_tpu.constructs.record import make_records
-from ibu_tpu.ops import codec as C
-from ibu_tpu.ops.codec_pallas import (
-    decode_planes,
-    decode_records,
-    encode_planes,
-    encode_records,
-)
-from ibu_tpu.ops.stats import (
-    barcode_histogram,
-    barcode_histogram_np,
-    checksum_records_np,
-    checksum_soa,
-    sort_records_soa,
-)
-from ibu_tpu.ops.u64 import records_from_soa, soa_from_records
-
-PASS = 0
-FAIL = 0
-
-
-def check(name: str, ok: bool) -> None:
-    global PASS, FAIL
-    if ok:
-        PASS += 1
-        print(f"PASS {name}", flush=True)
-    else:
-        FAIL += 1
-        print(f"FAIL {name}", flush=True)
-
-
-def random_rows(n, L, seed=0, lowercase=False):
-    rng = np.random.default_rng(seed)
-    al = np.frombuffer(b"acgt" if lowercase else b"ACGT", dtype=np.uint8)
-    return al[rng.integers(0, 4, size=(n, L))]
+from ibu_tpu.validate import run_matrix
 
 
 def main() -> int:
-    print(f"backend: {jax.default_backend()} devices: {jax.devices()}",
-          flush=True)
-
-    # codec matrix: boundary lengths incl. the hi-word and bit-63 paths
-    for L in (1, 15, 16, 17, 31, 32):
-        rows = random_rows(3000, L, seed=L)  # odd N exercises padding
-        planes = jnp.asarray(C.rows_to_planes(rows))
-        pair = encode_planes(planes)
-        ok = np.array_equal(
-            C.pair_to_words(np.asarray(pair)), C.np_pack(rows)
-        )
-        check(f"encode_planes L={L}", ok)
-        back = decode_planes(pair, L)
-        check(f"decode_planes L={L}",
-              np.array_equal(np.asarray(back), np.asarray(planes)))
-
-    # all-T 32-base: bit 63 set
-    words = C.pair_to_words(
-        np.asarray(encode_planes(jnp.asarray(
-            np.full((32, 256), ord("T"), np.uint8))))
+    print(
+        f"backend: {jax.default_backend()} devices: {jax.devices()}",
+        flush=True,
     )
-    check("bit63 all-T32", bool((words == 0xFFFFFFFFFFFFFFFF).all()))
-
-    # lowercase
-    rows = random_rows(1000, 12, seed=9, lowercase=True)
-    pair = encode_planes(jnp.asarray(C.rows_to_planes(rows)))
-    check("lowercase encode",
-          np.array_equal(C.pair_to_words(np.asarray(pair)), C.np_pack(rows)))
-
-    # fused record kernels + salt
-    n = 5000
-    bc_rows = random_rows(n, 16, seed=1)
-    umi_rows = random_rows(n, 12, seed=2)
-    idx = np.arange(n, dtype=np.uint64) * np.uint64(11)
-    soa = encode_records(
-        jnp.asarray(C.rows_to_planes(bc_rows)),
-        jnp.asarray(C.rows_to_planes(umi_rows)),
-        jnp.asarray(C.words_to_pair(idx)),
-    )
-    recs = records_from_soa(np.asarray(soa))
-    check("fused encode barcode", np.array_equal(recs["barcode"], C.np_pack(bc_rows)))
-    check("fused encode umi", np.array_equal(recs["umi"], C.np_pack(umi_rows)))
-    check("fused encode index", np.array_equal(recs["index"], idx))
-
-    salted = encode_records(
-        jnp.asarray(C.rows_to_planes(bc_rows)),
-        jnp.asarray(C.rows_to_planes(umi_rows)),
-        jnp.asarray(C.words_to_pair(idx)),
-        salt=jnp.uint32(0xA5A5A5A5),
-    )
-    srecs = records_from_soa(np.asarray(salted))
-    lo = (idx & np.uint64(0xFFFFFFFF)) ^ np.uint64(0xA5A5A5A5)
-    hi = (idx >> np.uint64(32)) ^ np.uint64(0xA5A5A5A5)
-    check("salt xor on index",
-          np.array_equal(srecs["index"], (hi << np.uint64(32)) | lo))
-
-    bc_p, umi_p, idx_p = decode_records(soa, 16, 12)
-    check("fused decode roundtrip", (
-        np.array_equal(C.planes_to_rows(np.asarray(bc_p)), bc_rows)
-        and np.array_equal(C.planes_to_rows(np.asarray(umi_p)), umi_rows)
-        and np.array_equal(C.pair_to_words(np.asarray(idx_p)), idx)
-    ))
-
-    # device sort vs host sort (with ties)
-    rng = np.random.default_rng(4)
-    records = make_records(
-        rng.integers(0, 32, 10_001, dtype=np.uint64),
-        rng.integers(0, 32, 10_001, dtype=np.uint64),
-        rng.integers(0, 1 << 63, 10_001, dtype=np.uint64),
-    )
-    got = records_from_soa(
-        np.asarray(sort_records_soa(jnp.asarray(soa_from_records(records))))
-    )
-    check("device sort", np.array_equal(
-        got, np.sort(records, order=("barcode", "umi", "index"))))
-
-    # hinted sort (dropped hi words) — the common bc16/umi12/idx<2^32 case
-    hinted_rec = make_records(
-        rng.integers(0, 1 << 32, 10_001, dtype=np.uint64),
-        rng.integers(0, 1 << 24, 10_001, dtype=np.uint64),
-        rng.permutation(10_001).astype(np.uint64),
-    )
-    got_h = records_from_soa(
-        np.asarray(
-            sort_records_soa(
-                jnp.asarray(soa_from_records(hinted_rec)),
-                bc_len=16, umi_len=12, index_bits=32,
-            )
-        )
-    )
-    check("device sort (hinted 3-op)", np.array_equal(
-        got_h, np.sort(hinted_rec, order=("barcode", "umi", "index"))))
-
-    # checksums (limb pyramid) at u64 extremes
-    ext = make_records(
-        np.full(70_000, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64),
-        rng.integers(0, 1 << 63, 70_000, dtype=np.uint64),
-        np.arange(70_000, dtype=np.uint64),
-    )
-    check("checksum extremes",
-          checksum_soa(soa_from_records(ext)) == checksum_records_np(ext))
-
-    # histogram
-    hrec = make_records(
-        rng.integers(0, 300, 20_000, dtype=np.uint64),
-        rng.integers(0, 1 << 40, 20_000, dtype=np.uint64),
-        np.arange(20_000, dtype=np.uint64),
-    )
-    u_lo, u_hi, counts, n_uniq = barcode_histogram(
-        jnp.asarray(soa_from_records(hrec)), max_uniques=1024
-    )
-    want = barcode_histogram_np(hrec)
-    got_hist = {}
-    counts_np = np.asarray(counts)
-    for i in np.nonzero(counts_np)[0]:
-        got_hist[int(u_lo[i]) | (int(u_hi[i]) << 32)] = int(counts_np[i])
-    check("device histogram",
-          got_hist == want and int(n_uniq) == len(want))
-
-    print(f"\n{PASS} passed, {FAIL} failed", flush=True)
-    return 1 if FAIL else 0
+    results = run_matrix(progress=lambda line: print(line, flush=True))
+    passed = sum(ok for _, ok in results)
+    failed = sum(not ok for _, ok in results)
+    print(f"\n{passed} passed, {failed} failed", flush=True)
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

@@ -259,6 +259,11 @@ def load_to_vec(path: str) -> tuple[Header, np.ndarray]:
     :class:`InvalidMapSize` otherwise, ``reader.rs:520-524``), and reads the
     record region in one shot into a structured array. Like the reference,
     this path does NOT sniff compression — it is the raw-file fast path.
+
+    Large files (≥8 MB) route through the native runtime's threaded
+    ``pread`` engine when available: page-cache reads are memcpy-bound, so
+    disjoint-range reads scale with cores where ``np.fromfile`` is pinned
+    to one.
     """
     try:
         size = os.path.getsize(path)
@@ -275,7 +280,7 @@ def load_to_vec(path: str) -> tuple[Header, np.ndarray]:
             if data_size % RECORD_SIZE != 0:
                 raise InvalidMapSize()
             n = data_size // RECORD_SIZE
-            records = np.fromfile(f, dtype=RECORD_DTYPE, count=n)
+            records = _bulk_read(f, n)
             if len(records) != n:
                 raise IbuIoError(
                     f"short read: wanted {n} records, got {len(records)}"
@@ -283,3 +288,19 @@ def load_to_vec(path: str) -> tuple[Header, np.ndarray]:
             return header, records
     except OSError as e:
         raise IbuIoError(e) from e
+
+
+#: threshold below which threaded pread is not worth the spawn cost
+_NATIVE_READ_MIN_BYTES = 8 << 20
+
+
+def _bulk_read(f: BinaryIO, n: int) -> np.ndarray:
+    """Read ``n`` records from ``f`` (positioned after the header)."""
+    if n * RECORD_SIZE >= _NATIVE_READ_MIN_BYTES:
+        from ibu_tpu import native
+
+        if native.available():
+            out = np.empty(n, dtype=RECORD_DTYPE)
+            native.pread_parallel(f.fileno(), out, HEADER_SIZE)
+            return out
+    return np.fromfile(f, dtype=RECORD_DTYPE, count=n)

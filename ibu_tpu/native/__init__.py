@@ -10,6 +10,8 @@ from ibu_tpu.native.bindings import (
     load_error,
     merge_files,
     pack_2bit,
+    pread_parallel,
+    pwrite_parallel,
     read_records,
     sort_file,
     sort_records,
@@ -24,6 +26,8 @@ __all__ = [
     "load_error",
     "merge_files",
     "pack_2bit",
+    "pread_parallel",
+    "pwrite_parallel",
     "read_records",
     "sort_file",
     "sort_records",

@@ -40,6 +40,14 @@ def _load() -> ctypes.CDLL | None:
     lib.ibu_read_file.restype = ctypes.c_int
     lib.ibu_file_size.argtypes = [ctypes.c_char_p, u64p]
     lib.ibu_file_size.restype = ctypes.c_int
+    lib.ibu_pread_parallel.argtypes = [
+        ctypes.c_int, u8p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int,
+    ]
+    lib.ibu_pread_parallel.restype = ctypes.c_int
+    lib.ibu_pwrite_parallel.argtypes = [
+        ctypes.c_int, u8p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int,
+    ]
+    lib.ibu_pwrite_parallel.restype = ctypes.c_int
     lib.ibu_checksum_parallel.argtypes = [
         ctypes.c_char_p, ctypes.c_uint64, u64p, ctypes.c_int,
     ]
@@ -121,6 +129,45 @@ def read_records(path: str, n_records: int, offset: int = 32) -> np.ndarray:
         "read_records",
     )
     return out
+
+
+def pread_parallel(
+    fd: int, out: np.ndarray, offset: int, nthreads: int = 0
+) -> None:
+    """Threaded ``pread`` of ``out.nbytes`` bytes at ``offset`` into ``out``.
+
+    Page-cache reads are memcpy-bound; splitting disjoint ranges across
+    cores scales them. ``out`` must be contiguous and writeable. The fd's
+    file offset is untouched.
+    """
+    lib = _load()
+    assert lib is not None
+    assert out.flags.c_contiguous and out.flags.writeable
+    _check(
+        lib.ibu_pread_parallel(
+            fd, _u8ptr(out.view(np.uint8).reshape(-1)), out.nbytes, offset,
+            nthreads,
+        ),
+        "pread_parallel",
+    )
+
+
+def pwrite_parallel(
+    fd: int, data, offset: int, nthreads: int = 0
+) -> None:
+    """Threaded ``pwrite`` of ``data`` (buffer-protocol bytes) at ``offset``.
+
+    Disjoint-range pwrites are safe concurrently and extend the file past
+    EOF. The fd's file offset is untouched — the caller repositions its
+    own stream if it mixes this with buffered writes.
+    """
+    lib = _load()
+    assert lib is not None
+    arr = np.frombuffer(data, dtype=np.uint8)
+    _check(
+        lib.ibu_pwrite_parallel(fd, _u8ptr(arr), arr.nbytes, offset, nthreads),
+        "pwrite_parallel",
+    )
 
 
 def file_size(path: str) -> int:

@@ -78,6 +78,84 @@ int ibu_read_file(const char* path, uint8_t* out, uint64_t nbytes,
   return 0;
 }
 
+// Threaded pread over disjoint ranges of an already-open fd. Page-cache
+// reads are memcpy-bound, so splitting across cores scales them (the
+// single-threaded read() loop above is the portability fallback). The fd's
+// file offset is NOT used or modified (pread only).
+int ibu_pread_parallel(int fd, uint8_t* out, uint64_t nbytes,
+                       uint64_t offset, int nthreads) {
+  if (nthreads <= 0) nthreads = std::thread::hardware_concurrency();
+  nthreads = std::max(1, std::min(nthreads, 64));
+  // below ~4 MB thread spawn overhead beats the memcpy win
+  if (nbytes < (4ull << 20) || nthreads == 1) {
+    uint64_t got = 0;
+    while (got < nbytes) {
+      ssize_t r = ::pread(fd, out + got, nbytes - got,
+                          static_cast<off_t>(offset + got));
+      if (r < 0) return -errno;
+      if (r == 0) return -EIO;
+      got += static_cast<uint64_t>(r);
+    }
+    return 0;
+  }
+  uint64_t per = nbytes / nthreads;
+  std::atomic<int> failure(0);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nthreads; ++t) {
+    uint64_t start = static_cast<uint64_t>(t) * per;
+    uint64_t end = (t == nthreads - 1) ? nbytes : start + per;
+    threads.emplace_back([fd, out, offset, start, end, &failure]() {
+      uint64_t got = start;
+      while (got < end) {
+        ssize_t r = ::pread(fd, out + got, end - got,
+                            static_cast<off_t>(offset + got));
+        if (r < 0) { failure.store(errno); return; }
+        if (r == 0) { failure.store(EIO); return; }
+        got += static_cast<uint64_t>(r);
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  return -failure.load();
+}
+
+// Threaded pwrite over disjoint ranges of an already-open fd. pwrite
+// beyond EOF extends the file; disjoint ranges are safe concurrently.
+// The fd's file offset is NOT used or modified (pwrite only).
+int ibu_pwrite_parallel(int fd, const uint8_t* data, uint64_t nbytes,
+                        uint64_t offset, int nthreads) {
+  if (nthreads <= 0) nthreads = std::thread::hardware_concurrency();
+  nthreads = std::max(1, std::min(nthreads, 64));
+  if (nbytes < (4ull << 20) || nthreads == 1) {
+    uint64_t put = 0;
+    while (put < nbytes) {
+      ssize_t w = ::pwrite(fd, data + put, nbytes - put,
+                           static_cast<off_t>(offset + put));
+      if (w < 0) return -errno;
+      put += static_cast<uint64_t>(w);
+    }
+    return 0;
+  }
+  uint64_t per = nbytes / nthreads;
+  std::atomic<int> failure(0);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nthreads; ++t) {
+    uint64_t start = static_cast<uint64_t>(t) * per;
+    uint64_t end = (t == nthreads - 1) ? nbytes : start + per;
+    threads.emplace_back([fd, data, offset, start, end, &failure]() {
+      uint64_t put = start;
+      while (put < end) {
+        ssize_t w = ::pwrite(fd, data + put, end - put,
+                             static_cast<off_t>(offset + put));
+        if (w < 0) { failure.store(errno); return; }
+        put += static_cast<uint64_t>(w);
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  return -failure.load();
+}
+
 // File size query (returns <0 on error, else size via out).
 int ibu_file_size(const char* path, uint64_t* out) {
   struct stat st;

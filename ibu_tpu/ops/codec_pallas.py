@@ -90,16 +90,24 @@ def _ascii_to_codes(planes: jax.Array) -> jax.Array:
 
 
 def _decode_tile(pair: jax.Array, length: int) -> jax.Array:
-    """Unpack a ``(2, TN)`` [lo, hi] tile into ``(L, TN)`` ASCII uint8."""
+    """Unpack a ``(2, TN)`` [lo, hi] tile into ``(L, TN)`` ASCII uint8.
+
+    The code→ASCII map is a byte-table variable shift —
+    ``(0x54474341 >> (8*code)) & 0xFF`` ('A','C','G','T' as LE bytes) —
+    measured on v5e against the arithmetic-LUT form
+    (``65 + 2c + 2(c>>1) + 11(c & (c>>1))``): the whole-roundtrip headline
+    moved 410 → 473 GB/s and the touch-encode hybrid put decode within
+    noise of the pure-copy floor (tools/sol_lab.py, RESULTS r2). Narrow
+    int8/int16 LUT lanes were also tried and are unsupported by Mosaic.
+    """
     lo_rows = min(length, 16)
     sh_lo = 2 * jax.lax.broadcasted_iota(jnp.uint32, (lo_rows, 1), 0)
     codes = (pair[0:1] >> sh_lo) & 3
     if length > 16:
         sh_hi = 2 * jax.lax.broadcasted_iota(jnp.uint32, (length - 16, 1), 0)
         codes = jnp.concatenate([codes, (pair[1:2] >> sh_hi) & 3], axis=0)
-    return (65 + 2 * codes + 2 * (codes >> 1) + 11 * (codes & (codes >> 1))).astype(
-        jnp.uint8
-    )
+    table = jnp.uint32(0x54474341)  # 'A','C','G','T' little-endian bytes
+    return ((table >> (codes << 3)) & 0xFF).astype(jnp.uint8)
 
 
 # ---------------------------------------------------------------------------

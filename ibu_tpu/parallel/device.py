@@ -41,6 +41,13 @@ from ibu_tpu.ops.u64 import soa_from_records
 
 AXIS = "dp"
 
+#: compiled step cache per engine (weak: engines die, steps follow). Keyed
+#: by the engine instance (frozen dataclass → value hash, so structurally
+#: identical engines share compilations) then by mesh identity.
+import weakref
+
+_STEP_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
 
 def make_mesh(devices: list | None = None) -> Mesh:
     """1-D data-parallel mesh over all (or the given) devices."""
@@ -144,7 +151,17 @@ class MapReduce:
         ``states`` leaves are ``(S, ...)`` sharded over ``AXIS``, ``raw`` is
         ``(B, 6) uint32`` wire-layout records sharded on the record axis
         (the raw→column transpose happens on device, fused into the step),
-        and ``valid`` is ``(S,)``."""
+        and ``valid`` is ``(S,)``.
+
+        The jit object is cached per (engine, mesh): a fresh one per call
+        would retrace AND recompile on every ``run`` — measured as the
+        dominant cost of repeated ``stream_file_stats`` calls (jax caches
+        compiled executables on function identity, which a fresh closure
+        defeats)."""
+        key = (mesh.axis_names, tuple(d.id for d in mesh.devices.flat))
+        cache = _STEP_CACHE.setdefault(self, {})
+        if key in cache:
+            return cache[key]
 
         def local_step(state, raw_local, valid_local):
             soa_local = raw_local.T  # (6, per) columns, device-side
@@ -152,7 +169,7 @@ class MapReduce:
             new = self.update(unsq, soa_local, valid_local[0])
             return jax.tree.map(lambda x: x[None], new)
 
-        return jax.jit(
+        step = jax.jit(
             shard_map(
                 local_step,
                 mesh=mesh,
@@ -161,6 +178,8 @@ class MapReduce:
                 check_vma=False,
             )
         )
+        cache[key] = step
+        return step
 
     def initial_states(self, mesh: Mesh, placer=default_placer) -> Any:
         """Per-shard initial states, broadcast and placed over the mesh."""
@@ -439,6 +458,55 @@ def sharded_barcode_histogram(
     return totals
 
 
+_HIST_FN_CACHE: dict = {}
+
+
+def _histogram_fns(mesh, mesh_key, capacity, max_uniques_per_shard):
+    """Build (or fetch cached) the per-shard histogram + global-merge jits.
+
+    A fresh jit object per DeviceHistogram would recompile on every
+    construction (same failure mode as MapReduce.compile_step); caching on
+    (mesh identity, capacity, per-shard cap) makes repeated histogram runs
+    pay compilation once per process.
+    """
+    key = (mesh_key, capacity, max_uniques_per_shard)
+    if key in _HIST_FN_CACHE:
+        return _HIST_FN_CACHE[key]
+
+    shard_fn = jax.jit(
+        shard_map(
+            functools.partial(
+                _masked_histogram, max_uniques=max_uniques_per_shard
+            ),
+            mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS)),
+            out_specs=P(AXIS),
+            check_vma=False,
+        )
+    )
+
+    replicated = NamedSharding(mesh, P())
+
+    @functools.partial(jax.jit, out_shardings=replicated)
+    def merge(state, b_lo, b_hi, b_cnt, b_seen):
+        lo = jnp.concatenate([state["lo"], b_lo])
+        hi = jnp.concatenate([state["hi"], b_hi])
+        cnt = jnp.concatenate([state["cnt"], b_cnt])
+        new_lo, new_hi, new_cnt, n_distinct = _sparse_group_sum(
+            lo, hi, cnt, capacity
+        )
+        return {
+            "lo": new_lo,
+            "hi": new_hi,
+            "cnt": new_cnt,
+            "n": jnp.maximum(state["n"], n_distinct),
+            "shard_seen": jnp.maximum(state["shard_seen"], jnp.max(b_seen)),
+        }
+
+    _HIST_FN_CACHE[key] = (shard_fn, merge)
+    return shard_fn, merge
+
+
 class DeviceHistogram:
     """Device-resident barcode histogram accumulator (bounded key spaces).
 
@@ -474,39 +542,14 @@ class DeviceHistogram:
         self.capacity = capacity
         self.max_uniques_per_shard = max_uniques_per_shard
         self._placer = placer
-        self._shard_fn = jax.jit(
-            shard_map(
-                functools.partial(
-                    _masked_histogram, max_uniques=max_uniques_per_shard
-                ),
-                mesh=self.mesh,
-                in_specs=(P(AXIS, None), P(AXIS)),
-                out_specs=P(AXIS),
-                check_vma=False,
-            )
+        mesh_key = (
+            self.mesh.axis_names,
+            tuple(d.id for d in self.mesh.devices.flat),
         )
-
+        self._shard_fn, self._merge = _histogram_fns(
+            self.mesh, mesh_key, capacity, max_uniques_per_shard
+        )
         replicated = NamedSharding(self.mesh, P())
-
-        @functools.partial(jax.jit, out_shardings=replicated)
-        def merge(state, b_lo, b_hi, b_cnt, b_seen):
-            lo = jnp.concatenate([state["lo"], b_lo])
-            hi = jnp.concatenate([state["hi"], b_hi])
-            cnt = jnp.concatenate([state["cnt"], b_cnt])
-            new_lo, new_hi, new_cnt, n_distinct = _sparse_group_sum(
-                lo, hi, cnt, capacity
-            )
-            return {
-                "lo": new_lo,
-                "hi": new_hi,
-                "cnt": new_cnt,
-                "n": jnp.maximum(state["n"], n_distinct),
-                "shard_seen": jnp.maximum(
-                    state["shard_seen"], jnp.max(b_seen)
-                ),
-            }
-
-        self._merge = merge
         zeros = np.zeros(capacity, np.uint32)
         self._state = {
             "lo": jax.device_put(zeros, replicated),

@@ -11,6 +11,8 @@ elsewhere, so they run (and are tested) everywhere.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from ibu_tpu.constructs.header import Header
@@ -96,6 +98,47 @@ def sort_batch(
     )
 
 
+@functools.lru_cache(maxsize=1)
+def _encode_sort_jit():
+    """ONE jitted dispatch: ASCII planes + index → encoded → sorted soa.
+
+    Fusing encode+sort keeps the intermediate record matrix on device —
+    the unfused path fetched encode output to the host and re-uploaded it
+    for the sort, which through a slow host↔device link dominated the
+    whole small-pipeline latency (VERDICT r1 #7 / BASELINE config 2).
+    Built once (module-level jit cache): a per-call jit object would
+    retrace and reload the compiled artifact on every invocation.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ibu_tpu.ops.stats import _sort_soa_impl
+
+    @functools.partial(jax.jit, static_argnames=("hi_used", "use_pallas"))
+    def impl(bc_planes, umi_planes, idx_pair, hi_used, use_pallas):
+        if use_pallas:
+            from ibu_tpu.ops.codec_pallas import encode_records
+
+            soa = encode_records(bc_planes, umi_planes, idx_pair)
+        else:
+            soa = jnp.concatenate(
+                [
+                    C.lax_encode_planes(bc_planes),
+                    C.lax_encode_planes(umi_planes),
+                    idx_pair,
+                ]
+            )
+        return _sort_soa_impl(soa, hi_used)
+
+    return impl
+
+
+def _encode_sort_soa(bc_planes, umi_planes, idx_pair, hi_used, use_pallas):
+    return _encode_sort_jit()(
+        bc_planes, umi_planes, idx_pair, hi_used, use_pallas
+    )
+
+
 def encode_sorted_file(
     path: str,
     bc_seqs: list[str] | np.ndarray,
@@ -103,12 +146,21 @@ def encode_sorted_file(
     index: np.ndarray | None = None,
     validate: bool = True,
 ) -> Header:
-    """Sequences → device encode → device sort → sorted IBU file.
+    """Sequences → device encode → device sort → sorted IBU file, in one
+    fused device dispatch (data crosses the host↔device boundary exactly
+    twice: ASCII+index up, sorted records down).
 
     ``bc_seqs``/``umi_seqs`` are equal-length string lists or ``(N, L)``
     ASCII arrays. Returns the written header (sorted flag set). This is
     BASELINE config 2 as a single library call.
+
+    Sort-hint safety: the encode kernel zeroes hi words for lengths ≤ 16
+    by construction, so those comparator drops need no data check; a
+    caller-provided ``index`` is scanned on the host (one vectorized pass)
+    before upload.
     """
+    import jax.numpy as jnp
+
     bc_rows = bc_seqs if isinstance(bc_seqs, np.ndarray) else C.seqs_to_rows(bc_seqs)
     umi_rows = (
         umi_seqs if isinstance(umi_seqs, np.ndarray) else C.seqs_to_rows(umi_seqs)
@@ -119,17 +171,24 @@ def encode_sorted_file(
     n = len(bc_rows)
     if len(umi_rows) != n:
         raise ValueError(f"{n} barcodes but {len(umi_rows)} UMIs")
-    index_bits = None
     if index is None:
         index = np.arange(n, dtype=np.uint64)
-        index_bits = 32 if n <= (1 << 32) else None
-    records = sort_batch(
-        encode_batch(bc_rows, umi_rows, index),
-        bc_len=bc_rows.shape[1],
-        umi_len=umi_rows.shape[1],
-        index_bits=index_bits,
+        index_hi_zero = n <= (1 << 32)
+    else:
+        index = np.asarray(index, dtype=np.uint64)
+        # one host pass; buys a 25% smaller device sort when indices are small
+        index_hi_zero = not (index >> np.uint64(32)).any()
+    bc_len, umi_len = bc_rows.shape[1], umi_rows.shape[1]
+    hi_used = (bc_len > 16, umi_len > 16, not index_hi_zero)
+    soa = _encode_sort_soa(
+        jnp.asarray(C.rows_to_planes(bc_rows)),
+        jnp.asarray(C.rows_to_planes(umi_rows)),
+        jnp.asarray(C.words_to_pair(index)),
+        hi_used,
+        _use_pallas(),
     )
-    header = Header.new(bc_rows.shape[1], umi_rows.shape[1])
+    records = records_from_soa(np.asarray(soa))
+    header = Header.new(bc_len, umi_len)
     header.set_sorted()
     with Writer.from_path(path, header) as w:
         w.write_batch(records)

@@ -51,6 +51,10 @@ def run_matrix(progress=None) -> list[tuple[str, bool]]:
     )
     from ibu_tpu.ops.u64 import records_from_soa, soa_from_records
 
+    # compiled Mosaic kernels on TPU; interpret mode elsewhere (CPU has
+    # no compiled pallas path — the CI suite covers interpret semantics)
+    interp = jax.default_backend() != "tpu"
+
     results: list[tuple[str, bool]] = []
 
     def check(name: str, ok: bool) -> None:
@@ -62,12 +66,12 @@ def run_matrix(progress=None) -> list[tuple[str, bool]]:
     for L in (1, 15, 16, 17, 31, 32):
         rows = _random_rows(3000, L, seed=L)  # odd N exercises padding
         planes = jnp.asarray(C.rows_to_planes(rows))
-        pair = encode_planes(planes)
+        pair = encode_planes(planes, interpret=interp)
         check(
             f"encode_planes L={L}",
             np.array_equal(C.pair_to_words(np.asarray(pair)), C.np_pack(rows)),
         )
-        back = decode_planes(pair, L)
+        back = decode_planes(pair, L, interpret=interp)
         check(
             f"decode_planes L={L}",
             np.array_equal(np.asarray(back), np.asarray(planes)),
@@ -76,14 +80,17 @@ def run_matrix(progress=None) -> list[tuple[str, bool]]:
     # all-T 32-base: bit 63 set
     words = C.pair_to_words(
         np.asarray(
-            encode_planes(jnp.asarray(np.full((32, 256), ord("T"), np.uint8)))
+            encode_planes(
+                jnp.asarray(np.full((32, 256), ord("T"), np.uint8)),
+                interpret=interp,
+            )
         )
     )
     check("bit63 all-T32", bool((words == 0xFFFFFFFFFFFFFFFF).all()))
 
     # lowercase
     rows = _random_rows(1000, 12, seed=9, lowercase=True)
-    pair = encode_planes(jnp.asarray(C.rows_to_planes(rows)))
+    pair = encode_planes(jnp.asarray(C.rows_to_planes(rows)), interpret=interp)
     check(
         "lowercase encode",
         np.array_equal(C.pair_to_words(np.asarray(pair)), C.np_pack(rows)),
@@ -98,6 +105,7 @@ def run_matrix(progress=None) -> list[tuple[str, bool]]:
         jnp.asarray(C.rows_to_planes(bc_rows)),
         jnp.asarray(C.rows_to_planes(umi_rows)),
         jnp.asarray(C.words_to_pair(idx)),
+        interpret=interp,
     )
     recs = records_from_soa(np.asarray(soa))
     check(
@@ -112,6 +120,7 @@ def run_matrix(progress=None) -> list[tuple[str, bool]]:
         jnp.asarray(C.rows_to_planes(umi_rows)),
         jnp.asarray(C.words_to_pair(idx)),
         salt=jnp.uint32(0xA5A5A5A5),
+        interpret=interp,
     )
     srecs = records_from_soa(np.asarray(salted))
     lo = (idx & np.uint64(0xFFFFFFFF)) ^ np.uint64(0xA5A5A5A5)
@@ -121,7 +130,7 @@ def run_matrix(progress=None) -> list[tuple[str, bool]]:
         np.array_equal(srecs["index"], (hi << np.uint64(32)) | lo),
     )
 
-    bc_p, umi_p, idx_p = decode_records(soa, 16, 12)
+    bc_p, umi_p, idx_p = decode_records(soa, 16, 12, interpret=interp)
     check(
         "fused decode roundtrip",
         np.array_equal(C.planes_to_rows(np.asarray(bc_p)), bc_rows)

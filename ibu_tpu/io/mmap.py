@@ -28,6 +28,21 @@ from ibu_tpu.errors import IbuIoError, InvalidIndex, InvalidMapSize
 #: Records per processing batch, ~24 MiB (ref ``mmap.rs:284``).
 BATCH_SIZE: int = 1024 * 1024
 
+#: Default host→device feed granularity for the streaming engines, in
+#: records. Measured on the tunneled dev chip (tools/put_sweep.py): ~24 MB
+#: transfers sustain ~4 GB/s while ≥50 MB transfers collapse to ~0.9 GB/s,
+#: so the default matches the reference's per-thread BATCH_SIZE; on a
+#: directly-attached host raise via ``IBU_STREAM_BATCH_RECORDS`` if the
+#: per-dispatch overhead (~2 ms) ever dominates (24 MB / 10 GB/s = 2.4 ms,
+#: so even PCIe-local chips are near break-even at this size).
+STREAM_BATCH_RECORDS: int = int(
+    os.environ.get("IBU_STREAM_BATCH_RECORDS", BATCH_SIZE)
+)
+
+#: Default placed-batch prefetch depth for the streaming engines. Depth 4
+#: measured best on the tunneled link (keeps ~96 MB in flight).
+STREAM_PREFETCH: int = int(os.environ.get("IBU_STREAM_PREFETCH", 4))
+
 
 class MmapReader:
     """Zero-copy random-access reader over a memory-mapped IBU file."""

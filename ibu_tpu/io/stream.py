@@ -19,7 +19,7 @@ from typing import Iterator
 
 import numpy as np
 
-from ibu_tpu.io.mmap import BATCH_SIZE, MmapReader
+from ibu_tpu.io.mmap import STREAM_BATCH_RECORDS, STREAM_PREFETCH, MmapReader
 
 
 class DeviceStream:
@@ -34,7 +34,7 @@ class DeviceStream:
         self,
         batches: Iterator[np.ndarray],
         mesh=None,
-        prefetch: int = 2,
+        prefetch: int = STREAM_PREFETCH,
         placer=None,
     ):
         from ibu_tpu.parallel.device import default_placer, make_mesh
@@ -72,8 +72,8 @@ class DeviceStream:
 def stream_file(
     path_or_reader: str | MmapReader,
     mesh=None,
-    batch_records: int = 4 * BATCH_SIZE,
-    prefetch: int = 2,
+    batch_records: int = STREAM_BATCH_RECORDS,
+    prefetch: int = STREAM_PREFETCH,
 ) -> DeviceStream:
     """Stream an IBU file to the device mesh with prefetch.
 

@@ -35,7 +35,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 shard_map = jax.shard_map
 
-from ibu_tpu.io.mmap import BATCH_SIZE, MmapReader
+from ibu_tpu.io.mmap import STREAM_BATCH_RECORDS, MmapReader
 from ibu_tpu.ops.stats import field_sums_soa, fold_limbs
 from ibu_tpu.ops.u64 import soa_from_records
 
@@ -288,7 +288,7 @@ def finalize_stats(merged) -> dict:
 
 
 def record_batches_from_mmap(
-    reader: MmapReader, batch_records: int = 4 * BATCH_SIZE
+    reader: MmapReader, batch_records: int = STREAM_BATCH_RECORDS
 ) -> Iterator[np.ndarray]:
     """Stream a mapped file as structured record batches — **zero-copy**
     views straight off the mapping (the engine ships them to the device in
@@ -302,7 +302,7 @@ def record_batches_from_mmap(
 
 
 def soa_batches_from_mmap(
-    reader: MmapReader, batch_records: int = 4 * BATCH_SIZE
+    reader: MmapReader, batch_records: int = STREAM_BATCH_RECORDS
 ) -> Iterator[np.ndarray]:
     """Stream a mapped file as ``(6, B)`` column batches (host transpose).
 
@@ -316,7 +316,7 @@ def soa_batches_from_mmap(
 def stream_file_stats(
     reader: MmapReader,
     mesh: Mesh | None = None,
-    batch_records: int = 4 * BATCH_SIZE,
+    batch_records: int = STREAM_BATCH_RECORDS,
 ) -> dict:
     """Count + exact field checksums of a whole file, streamed over the mesh.
 
@@ -608,7 +608,7 @@ class DeviceHistogram:
 def stream_file_histogram(
     reader: MmapReader,
     mesh: Mesh | None = None,
-    batch_records: int = 4 * BATCH_SIZE,
+    batch_records: int = STREAM_BATCH_RECORDS,
     capacity: int = 1 << 20,
     max_uniques_per_shard: int = 1 << 16,
 ) -> dict[int, int]:

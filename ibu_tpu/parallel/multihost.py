@@ -25,7 +25,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ibu_tpu.io.mmap import BATCH_SIZE, MmapReader
+from ibu_tpu.io.mmap import STREAM_BATCH_RECORDS, MmapReader
 from ibu_tpu.ops.u64 import soa_from_records
 from ibu_tpu.parallel.device import (
     AXIS,
@@ -66,7 +66,7 @@ def local_record_range(total_records: int) -> tuple[int, int]:
 
 
 def local_record_batches(
-    reader: MmapReader, batch_records: int = 4 * BATCH_SIZE
+    reader: MmapReader, batch_records: int = STREAM_BATCH_RECORDS
 ) -> Iterator[np.ndarray]:
     """Stream only this process's shard of the file as structured record
     batches (zero-copy mmap views)."""
@@ -79,7 +79,7 @@ def local_record_batches(
 
 
 def local_soa_batches(
-    reader: MmapReader, batch_records: int = 4 * BATCH_SIZE
+    reader: MmapReader, batch_records: int = STREAM_BATCH_RECORDS
 ) -> Iterator[np.ndarray]:
     """Column-matrix variant of :func:`local_record_batches` (host transpose)."""
     for batch in local_record_batches(reader, batch_records):
@@ -96,7 +96,7 @@ def process_local_placer(local: np.ndarray, mesh: Mesh, spec: P) -> jax.Array:
 def multihost_placed_batches(
     reader: MmapReader,
     mesh: Mesh,
-    batch_records: int = 4 * BATCH_SIZE,
+    batch_records: int = STREAM_BATCH_RECORDS,
 ) -> Iterator[tuple[jax.Array, jax.Array]]:
     """Yield globally-placed ``(raw, valid)`` pairs of this process's range.
 
@@ -150,7 +150,7 @@ def multihost_placed_batches(
 def multihost_file_stats(
     path: str,
     mesh: Mesh | None = None,
-    batch_records: int = 4 * BATCH_SIZE,
+    batch_records: int = STREAM_BATCH_RECORDS,
 ) -> dict:
     """Count + exact u64 field checksums across all hosts of a pod slice.
 
@@ -168,7 +168,7 @@ def multihost_file_stats(
 def multihost_barcode_histogram(
     path: str,
     mesh: Mesh | None = None,
-    batch_records: int = 4 * BATCH_SIZE,
+    batch_records: int = STREAM_BATCH_RECORDS,
     capacity: int = 1 << 20,
     max_uniques_per_shard: int = 1 << 16,
 ) -> dict[int, int]:
@@ -208,7 +208,7 @@ def multihost_map_reduce(
     path: str,
     engine,
     mesh: Mesh | None = None,
-    batch_records: int = 4 * BATCH_SIZE,
+    batch_records: int = STREAM_BATCH_RECORDS,
 ):
     """Run any :class:`ibu_tpu.parallel.device.MapReduce` over a pod slice.
 

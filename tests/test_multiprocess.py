@@ -108,3 +108,101 @@ def test_multihost_stats_cluster(nprocs, tmp_path):
         assert want in out, f"rank {r} stats mismatch:\n{out}\n{err[-1500:]}"
         assert want_hist in out, f"rank {r} hist mismatch:\n{out}\n{err[-1500:]}"
         assert want_mapred in out, f"rank {r} mapred mismatch:\n{out}\n{err[-1500:]}"
+
+
+# ---------------------------------------------------------------------------
+# timed scaling efficiency (the single-machine stand-in for BASELINE.md's
+# "≥85% records/s scaling at 2 hosts" target, which needs real pod hardware)
+# ---------------------------------------------------------------------------
+
+TIMED_WORKER = textwrap.dedent(
+    """
+    import os, sys, time
+    rank, nprocs, port, path, n = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4],
+        int(sys.argv[5]),
+    )
+    # Pin each process to ONE physical core: XLA's CPU backend is itself
+    # multi-threaded, so an unpinned 1-process baseline would already use
+    # every core and scaling would measure nothing (see RESULTS.md).
+    os.sched_setaffinity(0, {{rank % os.cpu_count()}})
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    sys.path.insert(0, {repo!r})
+    from ibu_tpu.utils import apply_platform_env
+    apply_platform_env()  # platform pin + persistent compile cache
+    import jax
+    if nprocs > 1:
+        jax.distributed.initialize(
+            f"127.0.0.1:{{port}}", num_processes=nprocs, process_id=rank
+        )
+    from ibu_tpu.parallel.multihost import multihost_file_stats
+    best = float("inf")
+    for rep in range(3):  # rep 0 pays compilation; best-of drops it
+        t0 = time.perf_counter()
+        stats = multihost_file_stats(path, batch_records=1 << 20)
+        best = min(best, time.perf_counter() - t0)
+    assert stats["count"] == n, stats
+    print(f"TIME {{best:.4f}}")
+    """
+).format(repo=REPO)
+
+
+def _run_timed_cluster(nprocs: int, worker_py: str, port: str, path: str,
+                       n: int) -> float:
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker_py, str(r), str(nprocs), port, path,
+             str(n)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for r in range(nprocs)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    times = []
+    for r, (out, err) in enumerate(outs):
+        assert procs[r].returncode == 0, f"rank {r} failed:\n{err[-3000:]}"
+        line = [l for l in out.splitlines() if l.startswith("TIME ")]
+        assert line, f"rank {r} printed no TIME:\n{out}\n{err[-1500:]}"
+        times.append(float(line[0].split()[1]))
+    # collectives sync ranks; the slowest rank's best time is the wall time
+    return max(times)
+
+
+@pytest.mark.slow
+def test_multihost_scaling_efficiency(tmp_path, capsys):
+    """Measured records/s efficiency of a pinned 2-process cluster vs a
+    pinned 1-process baseline over the same file — each process on its own
+    physical core with one virtual device, so the ratio measures the
+    multihost engine's scaling (partitioning + placement + gathered merge),
+    not XLA's internal thread pool. Asserts a loose lower bound (0.5) to
+    stay robust on shared CI; the measured value is printed for RESULTS.md.
+    """
+    if os.cpu_count() < 2:
+        pytest.skip("needs >=2 physical cores")
+    n = 4_000_000
+    i = np.arange(n, dtype=np.uint64)
+    path = str(tmp_path / "scale.ibu")
+    with Writer.from_path(path, Header.new(16, 12)) as w:
+        w.write_batch(
+            make_records(i % np.uint64(1000), i * np.uint64(2), i)
+        )
+    worker_py = tmp_path / "timed_worker.py"
+    worker_py.write_text(TIMED_WORKER)
+
+    t1 = _run_timed_cluster(1, str(worker_py), str(_free_port()), path, n)
+    t2 = _run_timed_cluster(2, str(worker_py), str(_free_port()), path, n)
+    eff = t1 / (2 * t2)
+    with capsys.disabled():
+        print(
+            f"\n[scaling] 1-proc {t1:.3f}s ({n/t1/1e6:.1f} Mrec/s) | "
+            f"2-proc {t2:.3f}s ({n/t2/1e6:.1f} Mrec/s) | "
+            f"efficiency {eff:.3f}",
+            flush=True,
+        )
+    assert eff >= 0.5, (
+        f"2-process efficiency {eff:.3f} below the 0.5 lower-bound guard "
+        f"(1p={t1:.3f}s, 2p={t2:.3f}s)"
+    )

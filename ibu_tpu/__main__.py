@@ -160,6 +160,19 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    from ibu_tpu.pipelines import dedup_file
+
+    stats = dedup_file(
+        args.input, args.output, assume_sorted=args.assume_sorted
+    )
+    print(
+        f"dedup {args.input} -> {args.output}: {stats['records']} reads -> "
+        f"{stats['molecules']} molecules across {stats['barcodes']} barcodes"
+    )
+    return 0
+
+
 def cmd_ingest_fastq(args) -> int:
     from ibu_tpu.utils import apply_platform_env
 
@@ -230,6 +243,21 @@ def main(argv=None) -> int:
     p.add_argument("output")
     p.add_argument("inputs", nargs="+")
     p.set_defaults(fn=cmd_merge)
+
+    p = sub.add_parser(
+        "dedup",
+        help="collapse PCR duplicates: one record per (barcode, umi) pair",
+    )
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument(
+        "--assume-sorted",
+        default=None,
+        action="store_true",
+        help="trust input order even without the sorted flag "
+             "(order is still verified during the pass)",
+    )
+    p.set_defaults(fn=cmd_dedup)
 
     p = sub.add_parser("ingest-fastq",
                        help="FASTQ → sorted IBU (encode+sort on device)")

@@ -265,3 +265,84 @@ def barcode_histogram_np(records: np.ndarray) -> dict[int, int]:
     """Host oracle: barcode → count."""
     vals, counts = np.unique(records["barcode"], return_counts=True)
     return {int(v): int(c) for v, c in zip(vals, counts)}
+
+
+# ---------------------------------------------------------------------------
+# UMI deduplication (molecule counting)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("max_uniques",))
+def molecule_counts(
+    soa: jax.Array, max_uniques: int
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Distinct ``(barcode, umi)`` pairs per barcode — UMI deduplication.
+
+    Reads sharing a (barcode, UMI) pair are PCR duplicates of one
+    molecule; the per-barcode count of DISTINCT pairs is the standard
+    single-cell molecule count. Beyond the reference's capability set
+    (it stops at raw records), built from the same device primitives as
+    :func:`barcode_histogram`: one 4-key sort (bc_hi, bc_lo, umi_hi,
+    umi_lo), pair-boundary flags, and a segment-sum of pair-first flags
+    over barcode segments.
+
+    Static-shape contract mirrors :func:`barcode_histogram`: returns
+    ``(unique_lo, unique_hi, mol_counts, num_unique)`` padded to
+    ``max_uniques`` barcodes; ``num_unique > max_uniques`` means overflow
+    (entries were dropped) and callers MUST check.
+    """
+    n = soa.shape[1]
+    npad = 1 << max(0, (n - 1).bit_length())  # pow2 sort shapes (see above)
+    bc_lo, bc_hi, umi_lo, umi_hi = soa[0], soa[1], soa[2], soa[3]
+    w = jnp.ones((n,), jnp.uint32)
+    if npad != n:
+        padk = jnp.full((npad - n,), 0xFFFFFFFF, jnp.uint32)
+        bc_lo = jnp.concatenate([bc_lo, padk])
+        bc_hi = jnp.concatenate([bc_hi, padk])
+        umi_lo = jnp.concatenate([umi_lo, padk])
+        umi_hi = jnp.concatenate([umi_hi, padk])
+        w = jnp.concatenate([w, jnp.zeros((npad - n,), jnp.uint32)])
+    s_bh, s_bl, s_uh, s_ul, s_w = jax.lax.sort(
+        (bc_hi, bc_lo, umi_hi, umi_lo, w), num_keys=4
+    )
+    one = jnp.ones((1,), dtype=jnp.bool_)
+    bc_first = jnp.concatenate(
+        [one, (s_bh[1:] != s_bh[:-1]) | (s_bl[1:] != s_bl[:-1])]
+    )
+    pair_first = jnp.concatenate(
+        [
+            one,
+            bc_first[1:]
+            | (s_uh[1:] != s_uh[:-1])
+            | (s_ul[1:] != s_ul[:-1]),
+        ]
+    )
+    seg_ids = jnp.cumsum(bc_first.astype(jnp.int32)) - 1
+    mol = jax.ops.segment_sum(
+        pair_first.astype(jnp.uint32) * s_w, seg_ids,
+        num_segments=max_uniques,
+    )
+    unique_lo = jnp.zeros((max_uniques,), jnp.uint32).at[seg_ids].set(s_bl)
+    unique_hi = jnp.zeros((max_uniques,), jnp.uint32).at[seg_ids].set(s_bh)
+    if npad != n:
+        has_real_max = jnp.any(
+            (s_w > 0)
+            & (s_bh == jnp.uint32(0xFFFFFFFF))
+            & (s_bl == jnp.uint32(0xFFFFFFFF))
+        )
+        sentinel_seg = (~has_real_max).astype(jnp.int32)
+    else:
+        sentinel_seg = jnp.int32(0)
+    num_unique = jnp.where(
+        n > 0, seg_ids[-1] + 1 - sentinel_seg, jnp.int32(0)
+    )
+    return unique_lo, unique_hi, mol, num_unique
+
+
+def molecule_counts_np(records: np.ndarray) -> dict[int, int]:
+    """Host oracle: barcode → number of distinct (barcode, umi) pairs."""
+    pairs = np.unique(
+        np.stack([records["barcode"], records["umi"]], axis=1), axis=0
+    )
+    vals, counts = np.unique(pairs[:, 0], return_counts=True)
+    return {int(v): int(c) for v, c in zip(vals, counts)}

@@ -515,3 +515,116 @@ def ingest_fastq(
         w.write_batch(records)
     return total
 
+
+
+# ---------------------------------------------------------------------------
+# UMI deduplication (molecule-level rewrite)
+# ---------------------------------------------------------------------------
+
+
+def _lex_nondecreasing(
+    bc: np.ndarray, umi: np.ndarray, idx: np.ndarray,
+    prev: tuple[int, int, int] | None,
+) -> bool:
+    """Vectorized check that (bc, umi, idx) triples are lexicographically
+    nondecreasing within the batch and against the previous batch's last
+    record (the reference Ord, ``record.rs:29-32``)."""
+    b0, b1 = bc[:-1], bc[1:]
+    u0, u1 = umi[:-1], umi[1:]
+    i0, i1 = idx[:-1], idx[1:]
+    ok = np.all(
+        (b1 > b0)
+        | ((b1 == b0) & ((u1 > u0) | ((u1 == u0) & (i1 >= i0))))
+    )
+    if not ok:
+        return False
+    if prev is not None and len(bc):
+        pb, pu, pi = prev
+        if (int(bc[0]), int(umi[0]), int(idx[0])) < (pb, pu, pi):
+            return False
+    return True
+
+
+def dedup_file(
+    in_path: str,
+    out_path: str,
+    batch_records: int = 4 * 1024 * 1024,
+    assume_sorted: bool | None = None,
+) -> dict:
+    """Collapse PCR duplicates: keep ONE record per distinct (barcode, umi)
+    pair — the molecule-level rewrite that sits beyond the reference's
+    capability set (it stops at raw reads; this is the standard next step
+    of the BUS-style pipeline the format feeds).
+
+    In the reference sort order (``record.rs:29-32``) duplicates of a pair
+    are adjacent and the first carries the minimum index, so a sorted file
+    streams in one pass with O(batch) memory: a vectorized keep-mask per
+    batch plus a one-record carry across batch boundaries. Unsorted inputs
+    are first sorted out-of-core (:func:`ibu_tpu.native.sort_file`; device
+    sort fallback) into a temp file. Sortedness is verified batch-by-batch
+    during the pass (like the merge CLI) — a file with a lying sorted flag
+    raises instead of silently mis-deduplicating; pass
+    ``assume_sorted=False`` to force the sort, or ``True`` to trust an
+    unset flag.
+
+    The output header copies bc/umi lengths and sets the sorted flag.
+    Returns ``{"records": N, "molecules": M, "barcodes": B}``.
+    """
+    import os
+    import tempfile
+
+    reader = MmapReader(in_path)
+    header = reader.header()
+    sorted_in = header.sorted() if assume_sorted is None else assume_sorted
+
+    tmp = None
+    if not sorted_in:
+        fd, tmp = tempfile.mkstemp(
+            suffix=".ibu", dir=os.path.dirname(os.path.abspath(out_path))
+        )
+        os.close(fd)
+        from ibu_tpu.native import bindings as native
+
+        if native.available():
+            native.sort_file(in_path, tmp)
+        else:
+            sort_file_device(in_path, tmp)
+        reader = MmapReader(tmp)
+
+    out_header = Header.new(header.bc_len, header.umi_len)
+    out_header.flags = header.flags
+    out_header.set_sorted()
+
+    n = reader.len()
+    records = molecules = barcodes = 0
+    prev: tuple[int, int, int] | None = None
+    try:
+        with Writer.from_path(out_path, out_header) as w:
+            for start in range(0, n, batch_records):
+                batch = np.asarray(
+                    reader.slice(start, min(start + batch_records, n))
+                )
+                bc, umi, idx = batch["barcode"], batch["umi"], batch["index"]
+                if not _lex_nondecreasing(bc, umi, idx, prev):
+                    raise ValueError(
+                        f"{in_path}: records are not in sorted order near "
+                        f"record {start} despite the sorted flag; re-sort "
+                        "or pass assume_sorted=False"
+                    )
+                keep = np.empty(len(batch), dtype=bool)
+                keep[1:] = (bc[1:] != bc[:-1]) | (umi[1:] != umi[:-1])
+                keep[0] = prev is None or (
+                    int(bc[0]) != prev[0] or int(umi[0]) != prev[1]
+                )
+                bc_first = np.empty(len(batch), dtype=bool)
+                bc_first[1:] = bc[1:] != bc[:-1]
+                bc_first[0] = prev is None or int(bc[0]) != prev[0]
+                w.write_batch(batch[keep])
+                records += len(batch)
+                molecules += int(keep.sum())
+                barcodes += int(bc_first.sum())
+                prev = (int(bc[-1]), int(umi[-1]), int(idx[-1]))
+    finally:
+        if tmp is not None:
+            os.unlink(tmp)
+    return {"records": records, "molecules": molecules, "barcodes": barcodes}

@@ -163,9 +163,8 @@ def cmd_merge(args) -> int:
 def cmd_dedup(args) -> int:
     from ibu_tpu.pipelines import dedup_file
 
-    stats = dedup_file(
-        args.input, args.output, assume_sorted=args.assume_sorted
-    )
+    assume = {"auto": None, "yes": True, "no": False}[args.assume_sorted]
+    stats = dedup_file(args.input, args.output, assume_sorted=assume)
     print(
         f"dedup {args.input} -> {args.output}: {stats['records']} reads -> "
         f"{stats['molecules']} molecules across {stats['barcodes']} barcodes"
@@ -252,10 +251,11 @@ def main(argv=None) -> int:
     p.add_argument("output")
     p.add_argument(
         "--assume-sorted",
-        default=None,
-        action="store_true",
-        help="trust input order even without the sorted flag "
-             "(order is still verified during the pass)",
+        choices=("auto", "yes", "no"),
+        default="auto",
+        help="auto: trust the header's sorted flag; yes: treat as sorted "
+             "even without the flag (order is still verified during the "
+             "pass); no: force a pre-sort (the fix for a lying flag)",
     )
     p.set_defaults(fn=cmd_dedup)
 

@@ -163,41 +163,21 @@ def wrap_decompress(stream: BinaryIO) -> BinaryIO:
     raise CompressionError(f"unknown compression kind {kind!r}")
 
 
-class _RawFromRead(io.RawIOBase):
-    """Adapt a bare ``read()``-only object (e.g. :class:`_ChainClosing`) to
-    the raw-IO interface so it can sit under an :class:`io.BufferedReader`
-    (which provides ``readline``/iteration)."""
-
-    def __init__(self, inner):
-        self._inner = inner
-
-    def readable(self) -> bool:
-        return True
-
-    def readinto(self, b) -> int:
-        data = self._inner.read(len(b))
-        if not data:
-            return 0
-        b[: len(data)] = data
-        return len(data)
-
-    def close(self) -> None:
-        try:
-            self._inner.close()
-        finally:
-            super().close()
-
-
 def as_buffered(stream) -> io.BufferedReader:
     """Ensure ``stream`` supports buffered line iteration.
 
     Plain streams from :func:`open_decompressed` already are
-    :class:`io.BufferedReader`; decompression chains are wrapped. Closing
-    the result closes the full chain either way.
+    :class:`io.BufferedReader`; bare ``read()``-only objects (e.g.
+    :class:`_ChainClosing` decompression chains) sit under an empty-prefix
+    :class:`_PeekableStream`, which adapts them to the raw-IO interface
+    with the same close-the-whole-chain semantics. Closing the result
+    closes the full chain either way.
     """
     if isinstance(stream, io.BufferedReader):
         return stream
-    return io.BufferedReader(_RawFromRead(stream), buffer_size=1 << 20)
+    return io.BufferedReader(
+        _PeekableStream(b"", stream), buffer_size=1 << 20
+    )
 
 
 def open_decompressed(path: str) -> BinaryIO:

@@ -202,12 +202,18 @@ class Writer:
                 try:
                     self._inner.flush()
                     off = self._inner.tell()
+                    fd = self._inner.fileno()
+                except OSError:
+                    # non-seekable sink behind a plain path (FIFO,
+                    # /dev/stdout): positioned I/O is impossible — stream
+                    # sequentially instead of failing
+                    self._write_all(data)
+                    return
+                try:
                     # nthreads=1: page-cache writes serialize on the page
                     # allocator (measured 2T slower than 1T on tmpfs), so
                     # unlike reads, fan-out buys nothing here
-                    native.pwrite_parallel(
-                        self._inner.fileno(), data, off, nthreads=1
-                    )
+                    native.pwrite_parallel(fd, data, off, nthreads=1)
                     self._inner.seek(off + len(data))
                 except OSError as e:
                     raise IbuIoError(e) from e

@@ -212,6 +212,55 @@ def _any_nonzero_rows(soa: jax.Array, rows: tuple[int, ...]) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def _sorted_barcode_groups(key_rows: list, n: int, max_uniques: int):
+    """Shared scaffolding for barcode-grouped device aggregations.
+
+    ``key_rows`` are sort-key columns most-significant first, the first two
+    being the barcode (hi, lo) words. Pow2-pads every key with the all-max
+    sentinel (weight 0) for sane sort shapes, sorts, segments by barcode,
+    and scatters the unique barcode words.
+
+    Returns ``(sorted_rows, s_w, bc_first, seg_ids, unique_lo, unique_hi,
+    num_unique)``. ``num_unique`` is the TRUE distinct-barcode count (total
+    segments minus the pad-sentinel segment when no real record shares the
+    all-max barcode) — NOT derived from any count array, which silently
+    drops segments ≥ ``max_uniques``; callers MUST treat
+    ``num_unique > max_uniques`` as overflow.
+    """
+    npad = 1 << max(0, (n - 1).bit_length())  # pow2 sort shapes (see above)
+    w = jnp.ones((n,), jnp.uint32)
+    if npad != n:
+        padk = jnp.full((npad - n,), 0xFFFFFFFF, jnp.uint32)
+        key_rows = [jnp.concatenate([k, padk]) for k in key_rows]
+        w = jnp.concatenate([w, jnp.zeros((npad - n,), jnp.uint32)])
+    *sorted_rows, s_w = jax.lax.sort(
+        (*key_rows, w), num_keys=len(key_rows)
+    )
+    s_bh, s_bl = sorted_rows[0], sorted_rows[1]
+    bc_first = jnp.concatenate(
+        [
+            jnp.ones((1,), dtype=jnp.bool_),
+            (s_bh[1:] != s_bh[:-1]) | (s_bl[1:] != s_bl[:-1]),
+        ]
+    )
+    seg_ids = jnp.cumsum(bc_first.astype(jnp.int32)) - 1  # (Npad,)
+    unique_lo = jnp.zeros((max_uniques,), jnp.uint32).at[seg_ids].set(s_bl)
+    unique_hi = jnp.zeros((max_uniques,), jnp.uint32).at[seg_ids].set(s_bh)
+    if npad != n:
+        has_real_max = jnp.any(
+            (s_w > 0)
+            & (s_bh == jnp.uint32(0xFFFFFFFF))
+            & (s_bl == jnp.uint32(0xFFFFFFFF))
+        )
+        sentinel_seg = (~has_real_max).astype(jnp.int32)
+    else:
+        sentinel_seg = jnp.int32(0)
+    num_unique = jnp.where(
+        n > 0, seg_ids[-1] + 1 - sentinel_seg, jnp.int32(0)
+    )
+    return sorted_rows, s_w, bc_first, seg_ids, unique_lo, unique_hi, num_unique
+
+
 @functools.partial(jax.jit, static_argnames=("max_uniques",))
 def barcode_histogram(
     soa: jax.Array, max_uniques: int
@@ -225,39 +274,10 @@ def barcode_histogram(
     replacing the reference pattern of a host hash map per thread.
     """
     n = soa.shape[1]
-    npad = 1 << max(0, (n - 1).bit_length())  # pow2 sort shapes (see above)
-    bc_lo, bc_hi = soa[0], soa[1]
-    w = jnp.ones((n,), jnp.uint32)
-    if npad != n:
-        padk = jnp.full((npad - n,), 0xFFFFFFFF, jnp.uint32)
-        bc_lo = jnp.concatenate([bc_lo, padk])
-        bc_hi = jnp.concatenate([bc_hi, padk])
-        w = jnp.concatenate([w, jnp.zeros((npad - n,), jnp.uint32)])
-    s_hi, s_lo, s_w = jax.lax.sort((bc_hi, bc_lo, w), num_keys=2)
-    first = jnp.concatenate(
-        [
-            jnp.ones((1,), dtype=jnp.bool_),
-            (s_hi[1:] != s_hi[:-1]) | (s_lo[1:] != s_lo[:-1]),
-        ]
+    _, s_w, _, seg_ids, unique_lo, unique_hi, num_unique = (
+        _sorted_barcode_groups([soa[1], soa[0]], n, max_uniques)
     )
-    seg_ids = jnp.cumsum(first.astype(jnp.int32)) - 1  # (Npad,)
     counts = jax.ops.segment_sum(s_w, seg_ids, num_segments=max_uniques)
-    unique_lo = jnp.zeros((max_uniques,), jnp.uint32).at[seg_ids].set(s_lo)
-    unique_hi = jnp.zeros((max_uniques,), jnp.uint32).at[seg_ids].set(s_hi)
-    # True distinct count (NOT derived from `counts`, which silently drops
-    # segments >= max_uniques): total segments minus the pow2-pad sentinel
-    # segment when no real record shares the all-max key. Callers MUST
-    # treat num_unique > max_uniques as overflow — entries were dropped.
-    if npad != n:
-        has_real_max = jnp.any(
-            (s_w > 0) & (s_hi == jnp.uint32(0xFFFFFFFF)) & (s_lo == jnp.uint32(0xFFFFFFFF))
-        )
-        sentinel_seg = (~has_real_max).astype(jnp.int32)
-    else:
-        sentinel_seg = jnp.int32(0)
-    num_unique = jnp.where(
-        n > 0, seg_ids[-1] + 1 - sentinel_seg, jnp.int32(0)
-    )
     return unique_lo, unique_hi, counts, num_unique
 
 
@@ -292,49 +312,23 @@ def molecule_counts(
     (entries were dropped) and callers MUST check.
     """
     n = soa.shape[1]
-    npad = 1 << max(0, (n - 1).bit_length())  # pow2 sort shapes (see above)
-    bc_lo, bc_hi, umi_lo, umi_hi = soa[0], soa[1], soa[2], soa[3]
-    w = jnp.ones((n,), jnp.uint32)
-    if npad != n:
-        padk = jnp.full((npad - n,), 0xFFFFFFFF, jnp.uint32)
-        bc_lo = jnp.concatenate([bc_lo, padk])
-        bc_hi = jnp.concatenate([bc_hi, padk])
-        umi_lo = jnp.concatenate([umi_lo, padk])
-        umi_hi = jnp.concatenate([umi_hi, padk])
-        w = jnp.concatenate([w, jnp.zeros((npad - n,), jnp.uint32)])
-    s_bh, s_bl, s_uh, s_ul, s_w = jax.lax.sort(
-        (bc_hi, bc_lo, umi_hi, umi_lo, w), num_keys=4
+    sorted_rows, s_w, bc_first, seg_ids, unique_lo, unique_hi, num_unique = (
+        _sorted_barcode_groups(
+            [soa[1], soa[0], soa[3], soa[2]], n, max_uniques
+        )
     )
-    one = jnp.ones((1,), dtype=jnp.bool_)
-    bc_first = jnp.concatenate(
-        [one, (s_bh[1:] != s_bh[:-1]) | (s_bl[1:] != s_bl[:-1])]
-    )
+    s_uh, s_ul = sorted_rows[2], sorted_rows[3]
     pair_first = jnp.concatenate(
         [
-            one,
+            jnp.ones((1,), dtype=jnp.bool_),
             bc_first[1:]
             | (s_uh[1:] != s_uh[:-1])
             | (s_ul[1:] != s_ul[:-1]),
         ]
     )
-    seg_ids = jnp.cumsum(bc_first.astype(jnp.int32)) - 1
     mol = jax.ops.segment_sum(
         pair_first.astype(jnp.uint32) * s_w, seg_ids,
         num_segments=max_uniques,
-    )
-    unique_lo = jnp.zeros((max_uniques,), jnp.uint32).at[seg_ids].set(s_bl)
-    unique_hi = jnp.zeros((max_uniques,), jnp.uint32).at[seg_ids].set(s_bh)
-    if npad != n:
-        has_real_max = jnp.any(
-            (s_w > 0)
-            & (s_bh == jnp.uint32(0xFFFFFFFF))
-            & (s_bl == jnp.uint32(0xFFFFFFFF))
-        )
-        sentinel_seg = (~has_real_max).astype(jnp.int32)
-    else:
-        sentinel_seg = jnp.int32(0)
-    num_unique = jnp.where(
-        n > 0, seg_ids[-1] + 1 - sentinel_seg, jnp.int32(0)
     )
     return unique_lo, unique_hi, mol, num_unique
 

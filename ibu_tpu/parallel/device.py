@@ -458,7 +458,12 @@ def sharded_barcode_histogram(
     return totals
 
 
+#: Bounded FIFO cache: keys are (mesh_key, capacity, per-shard cap) value
+#: tuples, so unlike _STEP_CACHE there is no engine object to key weakly;
+#: the bound stops a capacity/mesh parameter sweep from retaining every
+#: compiled executable forever.
 _HIST_FN_CACHE: dict = {}
+_HIST_FN_CACHE_MAX = 16
 
 
 def _histogram_fns(mesh, mesh_key, capacity, max_uniques_per_shard):
@@ -503,6 +508,8 @@ def _histogram_fns(mesh, mesh_key, capacity, max_uniques_per_shard):
             "shard_seen": jnp.maximum(state["shard_seen"], jnp.max(b_seen)),
         }
 
+    if len(_HIST_FN_CACHE) >= _HIST_FN_CACHE_MAX:
+        _HIST_FN_CACHE.pop(next(iter(_HIST_FN_CACHE)))
     _HIST_FN_CACHE[key] = (shard_fn, merge)
     return shard_fn, merge
 

@@ -76,7 +76,7 @@ def process_parallel(
         and not hasattr(processor, "process_record")
     )
 
-    errors: list[Exception | None] = [None] * num_threads
+    errors: list[BaseException | None] = [None] * num_threads
 
     def worker(tid: int, start: int, end: int) -> None:
         thread_reader = reader.clone()
@@ -100,9 +100,11 @@ def process_parallel(
                         )
                 thread_processor.on_batch_complete()
                 batch_start += batch_size
-        except Exception as e:  # propagate first failure (mmap.rs:326-329);
-            # KeyboardInterrupt/SystemExit deliberately NOT converted to
-            # ProcessError — interrupts must propagate as themselves
+        except BaseException as e:  # noqa: BLE001 — a BaseException left
+            # uncaught in a worker THREAD would be silently swallowed by
+            # threading (the run would "succeed" on partial data), so
+            # everything is captured; the join loop below re-raises
+            # interrupts as themselves and wraps the rest (mmap.rs:326-329)
             errors[tid] = e
 
     threads = []
@@ -117,4 +119,6 @@ def process_parallel(
         if e is not None:
             if isinstance(e, IbuError):
                 raise e
+            if not isinstance(e, Exception):
+                raise e  # KeyboardInterrupt/SystemExit: as themselves
             raise into_ibu_error(e)

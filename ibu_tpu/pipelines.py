@@ -583,13 +583,17 @@ def dedup_file(
             suffix=".ibu", dir=os.path.dirname(os.path.abspath(out_path))
         )
         os.close(fd)
-        from ibu_tpu.native import bindings as native
+        try:
+            from ibu_tpu.native import bindings as native
 
-        if native.available():
-            native.sort_file(in_path, tmp)
-        else:
-            sort_file_device(in_path, tmp)
-        reader = MmapReader(tmp)
+            if native.available():
+                native.sort_file(in_path, tmp)
+            else:
+                sort_file_device(in_path, tmp)
+            reader = MmapReader(tmp)
+        except BaseException:
+            os.unlink(tmp)
+            raise
 
     out_header = Header.new(header.bc_len, header.umi_len)
     out_header.flags = header.flags
@@ -608,8 +612,9 @@ def dedup_file(
                 if not _lex_nondecreasing(bc, umi, idx, prev):
                     raise ValueError(
                         f"{in_path}: records are not in sorted order near "
-                        f"record {start} despite the sorted flag; re-sort "
-                        "or pass assume_sorted=False"
+                        f"record {start} despite the sorted flag; re-sort, "
+                        "or pass assume_sorted=False (CLI: "
+                        "--assume-sorted no)"
                     )
                 keep = np.empty(len(batch), dtype=bool)
                 keep[1:] = (bc[1:] != bc[:-1]) | (umi[1:] != umi[:-1])

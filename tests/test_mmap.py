@@ -198,6 +198,22 @@ class TestParallelExecution:
             process_parallel(MmapReader(path), Exploder(), 2)
         assert "boom at 500" in str(ei.value)
 
+    def test_base_exception_reraised_not_swallowed(self, tmp_ibu_file):
+        """A BaseException in a worker (SystemExit here) must re-raise in
+        the caller AS ITSELF — not wrapped in ProcessError, and above all
+        not silently swallowed by the thread (which would return success
+        on partially-processed data)."""
+
+        class Quitter(ParallelProcessor):
+            def process_record(self, record):
+                if record.barcode == 500:
+                    raise SystemExit(3)
+
+        path = tmp_ibu_file(make_records_arange(1_000))
+        with pytest.raises(SystemExit) as ei:
+            process_parallel(MmapReader(path), Quitter(), 2)
+        assert ei.value.code == 3
+
     def test_set_tid_called(self, tmp_ibu_file):
         """Unlike the reference (which never calls set_tid — SURVEY §4
         discrepancy list), this engine does assign tids."""

@@ -272,3 +272,38 @@ class TestWriteCompression:
         with Reader.from_path(str(p)) as r:
             got = np.concatenate(list(r.batches()))
         np.testing.assert_array_equal(got, records)
+
+
+class TestNonSeekablePlainPath:
+    def test_fifo_large_batch_falls_back_to_sequential(self, tmp_path):
+        """A plain (uncompressed) path can still be non-seekable — a FIFO
+        or /dev/stdout. The ≥8 MB native-pwrite fast path needs tell(),
+        which raises ESPIPE there; the writer must fall back to streaming
+        the bytes, not abort."""
+        import os
+        import threading
+
+        fifo = str(tmp_path / "pipe.ibu")
+        os.mkfifo(fifo)
+        n = (8 << 20) // RECORD_SIZE + 5000  # over the native threshold
+        records = recs(n)
+        chunks = []
+
+        def drain():
+            with open(fifo, "rb") as f:
+                while True:
+                    b = f.read(1 << 20)
+                    if not b:
+                        break
+                    chunks.append(b)
+
+        t = threading.Thread(target=drain)
+        t.start()
+        with Writer.from_path(fifo, Header.new(16, 12)) as w:
+            w.write_batch(records)
+        t.join(timeout=60)
+        assert not t.is_alive()
+        data = b"".join(chunks)
+        assert len(data) == 32 + n * RECORD_SIZE
+        got = np.frombuffer(data[32:], dtype=records.dtype)
+        np.testing.assert_array_equal(got, records)

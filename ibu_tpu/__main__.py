@@ -160,6 +160,61 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def _parse_barcode_list(path: str, bc_len: int) -> "np.ndarray":
+    """Allowlist file → packed u64 barcodes. Each non-empty line is either
+    an ACGT sequence of the file's barcode length (packed with the host
+    codec) or an integer (decimal or 0x hex)."""
+    import numpy as np
+
+    from ibu_tpu.ops.codec import np_pack
+
+    seqs, ints = [], []
+    with open(path) as f:
+        for lineno, line in enumerate(f, 1):
+            t = line.strip()
+            if not t or t.startswith("#"):
+                continue
+            if set(t.upper()) <= set("ACGT"):
+                if len(t) != bc_len:
+                    raise SystemExit(
+                        f"{path}:{lineno}: sequence {t!r} has length "
+                        f"{len(t)}, file barcode length is {bc_len}"
+                    )
+                seqs.append(t.upper())
+            else:
+                try:
+                    ints.append(int(t, 0))
+                except ValueError:
+                    raise SystemExit(
+                        f"{path}:{lineno}: {t!r} is neither an ACGT "
+                        "sequence nor an integer"
+                    )
+    out = [np.asarray(ints, dtype=np.uint64)]
+    if seqs:
+        rows = np.frombuffer(
+            "".join(seqs).encode(), dtype=np.uint8
+        ).reshape(len(seqs), bc_len)
+        out.append(np_pack(rows))
+    return np.concatenate(out)
+
+
+def cmd_filter(args) -> int:
+    import numpy as np  # noqa: F401 — _parse_barcode_list's annotation
+
+    from ibu_tpu.io.mmap import MmapReader
+    from ibu_tpu.pipelines import filter_file
+
+    bc_len = MmapReader(args.input).header().bc_len
+    allow = _parse_barcode_list(args.barcodes, bc_len)
+    stats = filter_file(args.input, args.output, allow, invert=args.invert)
+    word = "excluded" if args.invert else "matched"
+    print(
+        f"filter {args.input} -> {args.output}: kept {stats['kept']} of "
+        f"{stats['records']} records ({stats['allowlist']} {word} barcodes)"
+    )
+    return 0
+
+
 def cmd_dedup(args) -> int:
     from ibu_tpu.pipelines import dedup_file
 
@@ -242,6 +297,23 @@ def main(argv=None) -> int:
     p.add_argument("output")
     p.add_argument("inputs", nargs="+")
     p.set_defaults(fn=cmd_merge)
+
+    p = sub.add_parser(
+        "filter",
+        help="keep only records whose barcode is in an allowlist",
+    )
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument(
+        "--barcodes", required=True,
+        help="allowlist file: one barcode per line (ACGT sequence of the "
+             "file's bc length, or an integer)",
+    )
+    p.add_argument(
+        "--invert", action="store_true",
+        help="keep records whose barcode is NOT in the list",
+    )
+    p.set_defaults(fn=cmd_filter)
 
     p = sub.add_parser(
         "dedup",

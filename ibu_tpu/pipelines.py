@@ -633,3 +633,55 @@ def dedup_file(
         if tmp is not None:
             os.unlink(tmp)
     return {"records": records, "molecules": molecules, "barcodes": barcodes}
+
+
+# ---------------------------------------------------------------------------
+# barcode allowlist filtering
+# ---------------------------------------------------------------------------
+
+
+def filter_file(
+    in_path: str,
+    out_path: str,
+    barcodes,
+    invert: bool = False,
+    batch_records: int = 4 * 1024 * 1024,
+) -> dict:
+    """Keep only records whose barcode is in ``barcodes`` (cell filtering —
+    the standard step after a knee-plot barcode selection; beyond the
+    reference's capability set).
+
+    ``barcodes`` is any integer array-like of packed barcode values (use
+    :func:`ibu_tpu.ops.codec.np_pack` / ``encode_seqs`` to build one from
+    ACGT strings; the CLI accepts both forms). Streams with O(batch)
+    memory: membership is a vectorized ``searchsorted`` per batch against
+    the sorted allowlist. ``invert=True`` keeps records NOT in the list.
+    Record order (and the header's sorted flag) is preserved — filtering a
+    sorted file yields a sorted file. Returns ``{"records": N, "kept": K,
+    "allowlist": A}``.
+    """
+    allow = np.unique(np.asarray(list(barcodes), dtype=np.uint64))
+    reader = MmapReader(in_path)
+    header = reader.header()
+    out_header = Header.new(header.bc_len, header.umi_len)
+    out_header.flags = header.flags  # sorted flag (and future bits) survive
+
+    n = reader.len()
+    kept = 0
+    with Writer.from_path(out_path, out_header) as w:
+        for start in range(0, n, batch_records):
+            batch = np.asarray(
+                reader.slice(start, min(start + batch_records, n))
+            )
+            bc = batch["barcode"]
+            if len(allow):
+                pos = np.searchsorted(allow, bc)
+                pos[pos == len(allow)] = 0
+                mask = allow[pos] == bc
+            else:
+                mask = np.zeros(len(bc), dtype=bool)
+            if invert:
+                mask = ~mask
+            w.write_batch(batch[mask])
+            kept += int(mask.sum())
+    return {"records": n, "kept": kept, "allowlist": int(len(allow))}

@@ -122,3 +122,28 @@ def test_random_roundtrip_config(seed, tmp_path):
             ).encode()
             assert lines[4 * k + 1] == want_seq
             assert int(lines[4 * k][2:]) == int(srt["index"][k])
+
+        # dedup + filter legs vs set-based host oracles
+        from ibu_tpu.ops.stats import molecule_counts_np
+        from ibu_tpu.pipelines import dedup_file, filter_file
+
+        dd = tmp_path / f"f{seed}.dedup.ibu"
+        dstats = dedup_file(str(path), str(dd))
+        want_mol = molecule_counts_np(records)
+        assert dstats["records"] == n
+        assert dstats["molecules"] == sum(want_mol.values())
+        assert dstats["barcodes"] == len(want_mol)
+        if n:
+            allow = rng.choice(
+                records["barcode"], size=int(rng.integers(1, 4)),
+                replace=True,
+            )
+            ff = tmp_path / f"f{seed}.filt.ibu"
+            fstats = filter_file(str(path), str(ff), allow)
+            assert fstats["kept"] == int(
+                np.isin(records["barcode"], allow).sum()
+            )
+            kept = np.asarray(MmapReader(str(ff)).records)
+            assert np.array_equal(
+                kept, records[np.isin(records["barcode"], allow)]
+            )

@@ -11,6 +11,8 @@ subcommands:
     python -m ibu_tpu split in.ibu shard{}.ibu 4  # reference-rule partition
     python -m ibu_tpu histogram data.ibu       # per-barcode counts (top N)
     python -m ibu_tpu decode data.ibu          # records → TSV (bc, umi, idx)
+    python -m ibu_tpu dedup in.ibu out.ibu     # one record per (bc, umi) pair
+    python -m ibu_tpu filter in.ibu out.ibu --barcodes cells.txt  # allowlist
     python -m ibu_tpu ingest-fastq reads.fastq data.ibu     # FASTQ → sorted IBU
     python -m ibu_tpu export-fastq data.ibu out.fastq.gz   # records → FASTQ
 
@@ -49,9 +51,26 @@ def cmd_stats(args) -> int:
 
     apply_platform_env()
     from ibu_tpu import MmapReader
-    from ibu_tpu.parallel.device import stream_file_stats
 
-    stats = stream_file_stats(MmapReader(args.path))
+    if args.engine == "native":
+        from ibu_tpu import native
+
+        if not native.available():
+            print(f"native runtime unavailable: {native.load_error()}",
+                  file=sys.stderr)
+            return 1
+        r = MmapReader(args.path)
+        bc, umi, idx = native.checksum_parallel(args.path, r.len())
+        stats = {
+            "count": r.len(),
+            "barcode_sum": bc,
+            "umi_sum": umi,
+            "index_sum": idx,
+        }
+    else:
+        from ibu_tpu.parallel.device import stream_file_stats
+
+        stats = stream_file_stats(MmapReader(args.path))
     print(json.dumps(stats))
     return 0
 
@@ -259,6 +278,12 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("stats", help="count + exact field checksums")
     p.add_argument("path")
+    p.add_argument(
+        "--engine", choices=("device", "native"), default="device",
+        help="device: streamed mesh engine (collective-merged); native: "
+             "threaded host engine (fastest when no accelerator is "
+             "attached)",
+    )
     p.set_defaults(fn=cmd_stats)
 
     p = sub.add_parser("sort", help="sorted rewrite (native external merge "

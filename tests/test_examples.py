@@ -111,7 +111,13 @@ class TestCli:
 
         p = run(["-m", "ibu_tpu", "stats", out])
         assert p.returncode == 0, p.stderr
-        assert J.loads(p.stdout.strip().splitlines()[-1])["count"] == 5000
+        device_stats = J.loads(p.stdout.strip().splitlines()[-1])
+        assert device_stats["count"] == 5000
+
+        # the native host engine must agree exactly with the device engine
+        p = run(["-m", "ibu_tpu", "stats", out, "--engine", "native"])
+        if p.returncode == 0:  # skip silently when native build unavailable
+            assert J.loads(p.stdout.strip().splitlines()[-1]) == device_stats
 
         dst = str(tmp_path / "s.ibu")
         p = run(["-m", "ibu_tpu", "sort", out, dst])

@@ -1,6 +1,10 @@
 """DeviceStream prefetch tests."""
 
+import os
+
 import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 from ibu_tpu.io.stream import DeviceStream, stream_file
 from ibu_tpu.ops.stats import checksum_records_np
@@ -48,3 +52,34 @@ class TestDeviceStream:
     def test_empty_file(self, tmp_ibu_file):
         path = tmp_ibu_file(make_records_arange(0))
         assert list(stream_file(path)) == []
+
+
+class TestStreamDefaults:
+    def test_env_overrides(self):
+        """IBU_STREAM_BATCH_RECORDS / IBU_STREAM_PREFETCH bind the module
+        constants at import (fresh process — the knobs for
+        directly-attached hosts where bigger feeds win)."""
+        import subprocess
+        import sys
+
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "from ibu_tpu.io.mmap import STREAM_BATCH_RECORDS, "
+             "STREAM_PREFETCH; print(STREAM_BATCH_RECORDS, STREAM_PREFETCH)"],
+            capture_output=True, text=True,
+            env={"PATH": "/usr/bin:/bin", "PYTHONPATH": REPO,
+                 "IBU_STREAM_BATCH_RECORDS": "123456",
+                 "IBU_STREAM_PREFETCH": "7"},
+        )
+        assert out.returncode == 0, out.stderr
+        assert out.stdout.split() == ["123456", "7"]
+
+    def test_defaults_match_reference_batch(self):
+        from ibu_tpu.io.mmap import (
+            BATCH_SIZE,
+            STREAM_BATCH_RECORDS,
+            STREAM_PREFETCH,
+        )
+
+        assert STREAM_BATCH_RECORDS == BATCH_SIZE  # == ref mmap.rs:284
+        assert STREAM_PREFETCH >= 1

@@ -126,6 +126,34 @@ def _ascii_to_codes_narrow(planes, dtype):
     return (t ^ (t >> 1)).astype(jnp.int32)
 
 
+def _encode_tile_tree(codes, lo_rows, hi_rows):
+    """Encode with an explicit halving tree instead of jnp.sum: each step
+    combines row-halves with one relative shift+or, log2(L) sublane-block
+    ops total — probing whether Mosaic's generic cross-sublane reduce is
+    the cost in the production encode."""
+
+    # Pre-shift every row to its final position, then tree-or halves.
+    def pack2(c):
+        rows = c.shape[0]
+        sh = 2 * jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        terms = c << sh
+        while terms.shape[0] > 1:
+            r = terms.shape[0]
+            h = r // 2
+            nxt = terms[:h] | terms[h : 2 * h]
+            if r % 2:
+                nxt = jnp.concatenate([nxt, terms[2 * h :]], axis=0)
+            terms = nxt
+        return terms[0]
+
+    lo = pack2(codes[:lo_rows])
+    if hi_rows > 0:
+        hi = pack2(codes[lo_rows : lo_rows + hi_rows])
+    else:
+        hi = jnp.zeros_like(lo)
+    return jax.lax.bitcast_convert_type(jnp.stack([lo, hi]), jnp.uint32)
+
+
 def make_plane(tile_n, enc_mode: str, dec_mode: str):
     """Roundtrip with independently selectable encode/decode compute:
     ``real`` (production codec), ``real8``/``real16`` (narrow-dtype code
@@ -135,14 +163,16 @@ def make_plane(tile_n, enc_mode: str, dec_mode: str):
 
     def enc_kernel(salt_ref, bc_ref, umi_ref, idx_ref, out_ref):
         idx = idx_ref[:] ^ salt_ref[0]
-        if enc_mode in ("real", "real8", "real16"):
+        if enc_mode in ("real", "real8", "real16", "tree"):
             to_codes = {
                 "real": _ascii_to_codes,
                 "real8": lambda p: _ascii_to_codes_narrow(p, jnp.int8),
                 "real16": lambda p: _ascii_to_codes_narrow(p, jnp.int16),
+                "tree": _ascii_to_codes,
             }[enc_mode]
-            bc = _encode_tile(to_codes(bc_ref[:]), BC, 0)
-            umi = _encode_tile(to_codes(umi_ref[:]), UMI, 0)
+            tile = _encode_tile_tree if enc_mode == "tree" else _encode_tile
+            bc = tile(to_codes(bc_ref[:]), BC, 0)
+            umi = tile(to_codes(umi_ref[:]), UMI, 0)
             out_ref[:] = jnp.concatenate([bc, umi, idx], axis=0)
             return
         if enc_mode == "reduce":
@@ -424,6 +454,9 @@ def main():
         "dec_only": (make_plane(tile_n, "touch", "real"), plane_inputs,
                      False),
         "nib": (make_plane(tile_n, "real", "nib"), plane_inputs, True),
+        "tree": (make_plane(tile_n, "tree", "nib"), plane_inputs, True),
+        "tree_only": (make_plane(tile_n, "tree", "touch"), plane_inputs,
+                      False),
         "nib_only": (make_plane(tile_n, "touch", "nib"), plane_inputs,
                      False),
         "lut8": (make_plane(tile_n, "real", "lut8"), plane_inputs, True),

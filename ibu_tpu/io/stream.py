@@ -5,7 +5,9 @@ The device analogue of the reference's buffered refill loop
 batch *k*, the host is already mapping/slicing batch *k+1* and its transfer
 is in flight. Because jax dispatch is asynchronous, "double buffering" here
 means keeping a bounded queue of placed-but-unconsumed device batches;
-depth 2 gives classic double buffering.
+depth 2 is classic double buffering, and the default
+(:data:`ibu_tpu.io.mmap.STREAM_PREFETCH`, 4) measured best on the dev
+link (tools/put_sweep.py).
 
 Batches are shipped in **wire layout** (``(B, 6) uint32``, a zero-copy view
 of the mmap) and transposed to columns on device — the host never touches

@@ -27,7 +27,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 #: Records per grid step. Swept on TPU v5e (bc16/umi12 fused roundtrip,
-#: slope-timed): 16384 → 405-445 GB/s; non-power-of-2 tiles collapse to
+#: slope-timed): 16384 → 470-476 GB/s with the nibble decode (405-445
+#: with the r1 arithmetic LUT); non-power-of-2 tiles collapse to
 #: ~232 GB/s (12288/20480) and ≥32768 overflows VMEM. 16384 = 128x128 —
 #: the record axis tiles exactly onto (sublane, lane) squares.
 DEFAULT_TILE_N = 16384

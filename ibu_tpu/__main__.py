@@ -185,7 +185,7 @@ def _parse_barcode_list(path: str, bc_len: int) -> "np.ndarray":
     codec) or an integer (decimal or 0x hex)."""
     import numpy as np
 
-    from ibu_tpu.ops.codec import np_pack
+    from ibu_tpu.ops.codec import np_pack, seqs_to_rows
 
     seqs, ints = [], []
     with open(path) as f:
@@ -202,34 +202,36 @@ def _parse_barcode_list(path: str, bc_len: int) -> "np.ndarray":
                 seqs.append(t.upper())
             else:
                 try:
-                    ints.append(int(t, 0))
+                    v = int(t, 0)
                 except ValueError:
                     raise SystemExit(
                         f"{path}:{lineno}: {t!r} is neither an ACGT "
                         "sequence nor an integer"
                     )
+                if not 0 <= v < 1 << 64:
+                    raise SystemExit(
+                        f"{path}:{lineno}: {t!r} is outside the u64 "
+                        "barcode range"
+                    )
+                ints.append(v)
     out = [np.asarray(ints, dtype=np.uint64)]
     if seqs:
-        rows = np.frombuffer(
-            "".join(seqs).encode(), dtype=np.uint8
-        ).reshape(len(seqs), bc_len)
-        out.append(np_pack(rows))
+        out.append(np_pack(seqs_to_rows(seqs)))
     return np.concatenate(out)
 
 
 def cmd_filter(args) -> int:
-    import numpy as np  # noqa: F401 — _parse_barcode_list's annotation
-
     from ibu_tpu.io.mmap import MmapReader
     from ibu_tpu.pipelines import filter_file
 
     bc_len = MmapReader(args.input).header().bc_len
     allow = _parse_barcode_list(args.barcodes, bc_len)
     stats = filter_file(args.input, args.output, allow, invert=args.invert)
-    word = "excluded" if args.invert else "matched"
+    mode = "blocklist" if args.invert else "allowlist"
     print(
         f"filter {args.input} -> {args.output}: kept {stats['kept']} of "
-        f"{stats['records']} records ({stats['allowlist']} {word} barcodes)"
+        f"{stats['records']} records ({mode} of {stats['allowlist']} "
+        "barcodes)"
     )
     return 0
 

@@ -116,7 +116,10 @@ class TestCli:
 
         # the native host engine must agree exactly with the device engine
         p = run(["-m", "ibu_tpu", "stats", out, "--engine", "native"])
-        if p.returncode == 0:  # skip silently when native build unavailable
+        if "native runtime unavailable" in p.stderr:
+            pass  # no native build on this box — the only legitimate skip
+        else:
+            assert p.returncode == 0, p.stderr
             assert J.loads(p.stdout.strip().splitlines()[-1]) == device_stats
 
         dst = str(tmp_path / "s.ibu")

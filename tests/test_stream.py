@@ -75,11 +75,19 @@ class TestStreamDefaults:
         assert out.stdout.split() == ["123456", "7"]
 
     def test_defaults_match_reference_batch(self):
-        from ibu_tpu.io.mmap import (
-            BATCH_SIZE,
-            STREAM_BATCH_RECORDS,
-            STREAM_PREFETCH,
-        )
+        """Subprocess with a clean env: the module constants bind
+        os.environ at import, so in-process reads would see whatever the
+        invoking shell exported."""
+        import subprocess
+        import sys
 
-        assert STREAM_BATCH_RECORDS == BATCH_SIZE  # == ref mmap.rs:284
-        assert STREAM_PREFETCH >= 1
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "from ibu_tpu.io.mmap import BATCH_SIZE, "
+             "STREAM_BATCH_RECORDS, STREAM_PREFETCH; "
+             "assert STREAM_BATCH_RECORDS == BATCH_SIZE; "  # ref mmap.rs:284
+             "assert STREAM_PREFETCH >= 1; print('ok')"],
+            capture_output=True, text=True,
+            env={"PATH": "/usr/bin:/bin", "PYTHONPATH": REPO},
+        )
+        assert out.returncode == 0 and out.stdout.strip() == "ok", out.stderr

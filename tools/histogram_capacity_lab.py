@@ -79,6 +79,8 @@ def main() -> None:
         return time.perf_counter() - t0, hist
 
     k_lo, k_hi = args.k
+    if k_hi <= k_lo:
+        ap.error(f"--k must be increasing, got {args.k}")
     best = {}
     for k in (k_lo, k_hi):
         best[k] = min(run(k)[0] for _ in range(args.reps))

@@ -31,13 +31,109 @@ from ibu_tpu.utils import apply_platform_env
 apply_platform_env()
 
 
+PINNED_WORKER = '''
+import os, sys, time
+rank, nprocs, port, path, n, batch, reps = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4],
+    int(sys.argv[5]), int(sys.argv[6]), int(sys.argv[7]),
+)
+os.sched_setaffinity(0, {rank % os.cpu_count()})
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+sys.path.insert(0, sys.argv[8])
+from ibu_tpu.utils import apply_platform_env
+apply_platform_env()
+import jax
+if nprocs > 1:
+    jax.distributed.initialize(
+        f"127.0.0.1:{port}", num_processes=nprocs, process_id=rank
+    )
+from ibu_tpu.parallel.multihost import multihost_file_stats
+best = float("inf")
+for rep in range(reps + 1):  # rep 0 pays compilation
+    t0 = time.perf_counter()
+    stats = multihost_file_stats(path, batch_records=batch)
+    best = min(best, time.perf_counter() - t0)
+assert stats["count"] == n, stats
+print(f"TIME {best:.4f}", flush=True)
+'''
+
+
+def run_pinned(nprocs: int, path: str, n: int, batch: int, reps: int) -> float:
+    """Wall time of an nprocs-pinned-core cluster over ``path`` (max of
+    per-rank bests; collectives sync the ranks)."""
+    import socket
+    import subprocess
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+    repo = __file__.rsplit("/", 2)[0]
+    workdir = tempfile.mkdtemp(prefix="ibu_pin_")
+    worker = os.path.join(workdir, "worker.py")
+    with open(worker, "w") as f:
+        f.write(PINNED_WORKER)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(r), str(nprocs), port, path,
+             str(n), str(batch), str(reps), repo],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for r in range(nprocs)
+    ]
+    times = []
+    for r, p in enumerate(procs):
+        out, err = p.communicate(timeout=600)
+        if p.returncode != 0:
+            raise RuntimeError(f"rank {r} failed:\n{err[-2000:]}")
+        times.append(float(
+            [l for l in out.splitlines() if l.startswith("TIME ")][0].split()[1]
+        ))
+    return max(times)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--records", type=float, default=8.0,
                     help="records in millions")
     ap.add_argument("--batch-records", type=int, default=1 << 21)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--pinned-processes", type=int, default=None, metavar="N",
+        help="instead of the in-process mesh sweep, measure a pinned "
+             "N-process jax.distributed cluster (one physical core + one "
+             "virtual device per process) against a pinned 1-process "
+             "baseline — the honest CPU-box efficiency methodology "
+             "(XLA's thread pool makes unpinned 1-device baselines use "
+             "every core; see RESULTS.md)",
+    )
     args = ap.parse_args()
+
+    if args.pinned_processes:
+        n = int(args.records * 1_000_000)
+        workdir = tempfile.mkdtemp(prefix="ibu_scaling_")
+        path = os.path.join(workdir, "scale.ibu")
+        from ibu_tpu.utils.datagen import parallel_fields, write_patterned_file
+
+        print(f"writing {n} records...", file=sys.stderr, flush=True)
+        write_patterned_file(path, n, parallel_fields)
+        batch = min(args.batch_records, 1 << 20)
+        t1 = run_pinned(1, path, n, batch, args.reps)
+        tn = run_pinned(args.pinned_processes, path, n, batch, args.reps)
+        os.remove(path)
+        eff = t1 / (args.pinned_processes * tn)
+        print(
+            f"  1 proc {t1:.3f}s ({n/t1/1e6:.1f} M rec/s) | "
+            f"{args.pinned_processes} procs {tn:.3f}s "
+            f"({n/tn/1e6:.1f} M rec/s)",
+            file=sys.stderr, flush=True,
+        )
+        print(json.dumps({
+            "pinned_processes": [1, args.pinned_processes],
+            "records_per_s": [round(n / t1), round(n / tn)],
+            "efficiency": [1.0, round(eff, 3)],
+        }))
+        return
 
     import jax
 

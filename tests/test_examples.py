@@ -146,3 +146,16 @@ class TestCli:
         assert len(lines) == 8000
         assert lines[0].startswith(b"@r") and lines[2] == b"+"
         assert set(lines[1]) <= set(b"ACGT")
+
+
+class TestScalingBenchmark:
+    def test_pinned_process_mode(self, tmp_path):
+        """The honest CPU-box efficiency mode must produce a sane JSON
+        line (full-size runs are recorded in RESULTS.md)."""
+        p = run([f"{REPO}/benchmarks/scaling.py", "--records", "0.2",
+                 "--reps", "1", "--pinned-processes", "2"], timeout=240)
+        assert p.returncode == 0, p.stderr
+        d = json.loads(p.stdout.strip().splitlines()[-1])
+        assert d["pinned_processes"] == [1, 2]
+        assert d["efficiency"][0] == 1.0 and d["efficiency"][1] > 0
+        assert all(r > 0 for r in d["records_per_s"])

@@ -15,6 +15,8 @@ subcommands:
     python -m ibu_tpu filter in.ibu out.ibu --barcodes cells.txt  # allowlist
     python -m ibu_tpu ingest-fastq reads.fastq data.ibu     # FASTQ → sorted IBU
     python -m ibu_tpu export-fastq data.ibu out.fastq.gz   # records → FASTQ
+    python -m ibu_tpu check data.ibu           # deep integrity audit
+    python -m ibu_tpu concat out.ibu a.ibu b.ibu  # order-aware concatenation
 
 ``info``/``decode`` are pure host; ``stats``/``histogram``/``export-fastq``
 run on the jax device mesh; ``sort`` uses the native external merge sort.
@@ -248,6 +250,39 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_check(args) -> int:
+    from ibu_tpu.pipelines import check_file
+
+    report = check_file(args.path)
+    if args.json:
+        print(json.dumps(report))
+    else:
+        h = report["header"]
+        if h is not None:
+            print(
+                f"{args.path}: bc_len={h['bc_len']} umi_len={h['umi_len']} "
+                f"sorted={bool(h['flags'] & 1)} records={report['records']}"
+            )
+        for w in report["warnings"]:
+            print(f"warning: {w}")
+        for e in report["errors"]:
+            print(f"error: {e}")
+        print("OK" if report["ok"] else "CORRUPT")
+    return 0 if report["ok"] else 1
+
+
+def cmd_concat(args) -> int:
+    from ibu_tpu.pipelines import concat_files
+
+    stats = concat_files(args.inputs, args.output)
+    order = "sorted" if stats["sorted"] else "unsorted"
+    print(
+        f"concatenated {stats['files']} files -> {args.output}: "
+        f"{stats['records']} records ({order})"
+    )
+    return 0
+
+
 def cmd_ingest_fastq(args) -> int:
     from ibu_tpu.utils import apply_platform_env
 
@@ -324,6 +359,25 @@ def main(argv=None) -> int:
     p.add_argument("output")
     p.add_argument("inputs", nargs="+")
     p.set_defaults(fn=cmd_merge)
+
+    p = sub.add_parser(
+        "check",
+        help="deep integrity audit: header, truncation, field ranges, "
+             "sorted-flag truth (exit 1 if corrupt)",
+    )
+    p.add_argument("path")
+    p.add_argument("--json", action="store_true",
+                   help="emit the full report as one JSON line")
+    p.set_defaults(fn=cmd_check)
+
+    p = sub.add_parser(
+        "concat",
+        help="concatenate IBU files (sorted flag preserved when the "
+             "boundary order allows)",
+    )
+    p.add_argument("output")
+    p.add_argument("inputs", nargs="+")
+    p.set_defaults(fn=cmd_concat)
 
     p = sub.add_parser(
         "filter",

@@ -685,3 +685,230 @@ def filter_file(
             w.write_batch(batch[mask])
             kept += int(mask.sum())
     return {"records": n, "kept": kept, "allowlist": int(len(allow))}
+
+
+# ---------------------------------------------------------------------------
+# integrity checking and concatenation
+# ---------------------------------------------------------------------------
+
+
+def check_file(in_path: str, buffer_records: int = 512 * 1024) -> dict:
+    """Deep integrity check of an IBU file (plain or gzip/zstd compressed).
+
+    The reference validates lazily — the header on open
+    (``/root/reference/src/constructs/header.rs:167-187``) and record
+    truncation as the stream is consumed
+    (``/root/reference/src/io/reader.rs:232-237``) — but ships no tool
+    that audits a whole file up front. ``check_file`` is that tool: one
+    streaming pass that collects *every* problem instead of raising on
+    the first, so operators can triage corrupt archives.
+
+    Checks performed:
+
+    * header parses and validates (magic, version, bc/umi length bounds);
+    * the record stream ends on a 24-byte boundary (no truncated tail);
+    * every barcode/umi fits in ``2*len`` bits (a value outside the
+      alphabet capacity cannot come from an ACGT sequence of the declared
+      length — a strong signal of header/record mismatch);
+    * if the sorted flag is set, records really are lexicographically
+      nondecreasing by (barcode, umi, index) (ref ``record.rs:29-32``) —
+      a lying flag breaks merge/dedup, so it is reported as an error.
+
+    Returns a report dict; ``report["ok"]`` is False iff any *error* was
+    found (out-of-range fields are warnings — structurally valid files
+    can carry them if written with a different alphabet).
+    """
+    from ibu_tpu.constructs import HEADER_SIZE, RECORD_SIZE
+    from ibu_tpu.errors import IbuError, TruncatedRecord
+    from ibu_tpu.io.compression import open_decompressed
+    from ibu_tpu.io.reader import Reader
+
+    report: dict = {
+        "path": in_path,
+        "ok": True,
+        "errors": [],
+        "warnings": [],
+        "header": None,
+        "records": 0,
+        "out_of_range_barcodes": 0,
+        "out_of_range_umis": 0,
+        "first_order_violation": None,
+    }
+    try:
+        reader = Reader(
+            open_decompressed(in_path), buffer_size=buffer_records * 24
+        )
+    except IbuError as e:
+        report["ok"] = False
+        report["errors"].append(f"header: {e}")
+        return report
+
+    header = reader.header()
+    report["header"] = header.to_dict()
+    bc_cap = None if header.bc_len >= 32 else 1 << (2 * header.bc_len)
+    umi_cap = None if header.umi_len >= 32 else 1 << (2 * header.umi_len)
+    claim_sorted = header.sorted()
+    prev: tuple[int, int, int] | None = None
+
+    with reader:
+        while True:
+            try:
+                batch = reader.read_records()
+            except IbuError as e:
+                report["ok"] = False
+                report["errors"].append(f"stream: {e}")
+                if isinstance(e, TruncatedRecord):
+                    # pos is the offset of the first incomplete record
+                    # (errors.py TruncatedRecord); whole records before the
+                    # tear are intact even though the refill discarded them.
+                    report["records"] = max(
+                        report["records"],
+                        (e.pos - HEADER_SIZE) // RECORD_SIZE,
+                    )
+                break
+            if batch is None:
+                break
+            bc, umi, idx = batch["barcode"], batch["umi"], batch["index"]
+            if bc_cap is not None:
+                report["out_of_range_barcodes"] += int(
+                    np.count_nonzero(bc >= bc_cap)
+                )
+            if umi_cap is not None:
+                report["out_of_range_umis"] += int(
+                    np.count_nonzero(umi >= umi_cap)
+                )
+            if claim_sorted and report["first_order_violation"] is None:
+                if not _lex_nondecreasing(bc, umi, idx, prev):
+                    report["first_order_violation"] = report["records"]
+            prev = (int(bc[-1]), int(umi[-1]), int(idx[-1]))
+            report["records"] += len(batch)
+
+    if report["first_order_violation"] is not None:
+        report["ok"] = False
+        report["errors"].append(
+            "order: sorted flag is set but records are out of order near "
+            f"record {report['first_order_violation']}"
+        )
+    if report["out_of_range_barcodes"] or report["out_of_range_umis"]:
+        report["warnings"].append(
+            f"{report['out_of_range_barcodes']} barcodes / "
+            f"{report['out_of_range_umis']} umis exceed the "
+            f"2*len-bit capacity of bc_len={header.bc_len}, "
+            f"umi_len={header.umi_len}"
+        )
+    return report
+
+
+def _boundary_records(path: str) -> tuple[tuple, tuple] | None:
+    """(first, last) (bc, umi, idx) triples of a file, or None if empty.
+
+    Plain files answer in O(1) via mmap; compressed inputs pay one
+    decompression pass (there is no random access into a gzip stream).
+    """
+    from ibu_tpu.io.compression import open_decompressed, sniff_compression
+    from ibu_tpu.io.reader import Reader
+
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if sniff_compression(magic) is None:
+        r = MmapReader(path)
+        if len(r) == 0:
+            return None
+        first, last = np.asarray(r.slice(0, 1))[0], np.asarray(
+            r.slice(len(r) - 1, len(r))
+        )[0]
+    else:
+        first = last = None
+        with Reader(open_decompressed(path)) as rd:
+            for batch in rd.batches():
+                if first is None:
+                    first = batch[0]
+                last = batch[-1]
+        if first is None:
+            return None
+    as_triple = lambda rec: (
+        int(rec["barcode"]), int(rec["umi"]), int(rec["index"])
+    )
+    return as_triple(first), as_triple(last)
+
+
+def concat_files(
+    in_paths,
+    out_path: str,
+    buffer_records: int = 512 * 1024,
+) -> dict:
+    """Concatenate IBU files into one, preserving sortedness when true.
+
+    All inputs must agree on (bc_len, umi_len) — mixing dimensions would
+    corrupt downstream decoding. The output's sorted flag is set iff
+    every input claims sorted AND the file-boundary records are
+    nondecreasing (sorted shards concatenated in key order stay sorted —
+    the inverse of :func:`split_file`, without the k-way merge cost of
+    ``native.merge_files`` when the inputs don't interleave). When the
+    flag is set, order is re-verified during the copy; a violation means
+    an input's sorted flag lied, and raises (same convention as
+    :func:`dedup_file`).
+
+    Inputs may be gzip/zstd compressed (sniffed); ``out_path`` follows
+    :meth:`Writer.from_path`'s ``compression="auto"`` extension rule.
+    Returns ``{"records": N, "files": k, "sorted": bool}``.
+    """
+    from ibu_tpu.io.compression import open_decompressed
+    from ibu_tpu.io.reader import Reader
+
+    in_paths = list(in_paths)
+    if not in_paths:
+        raise ValueError("concat_files requires at least one input")
+
+    headers = []
+    for p in in_paths:
+        with Reader(open_decompressed(p)) as r:
+            headers.append(r.header())
+    h0 = headers[0]
+    for p, h in zip(in_paths[1:], headers[1:]):
+        if (h.bc_len, h.umi_len) != (h0.bc_len, h0.umi_len):
+            raise ValueError(
+                f"{p}: dimensions (bc_len={h.bc_len}, umi_len={h.umi_len}) "
+                f"differ from {in_paths[0]} (bc_len={h0.bc_len}, "
+                f"umi_len={h0.umi_len}); refusing to concatenate"
+            )
+
+    out_sorted = all(h.sorted() for h in headers)
+    if out_sorted:
+        prev_last = None
+        for p in in_paths:
+            bounds = _boundary_records(p)
+            if bounds is None:
+                continue
+            first, last = bounds
+            if prev_last is not None and first < prev_last:
+                out_sorted = False
+                break
+            prev_last = last
+
+    out_header = Header.new(h0.bc_len, h0.umi_len)
+    if out_sorted:
+        out_header.set_sorted()
+
+    total = 0
+    prev: tuple[int, int, int] | None = None
+    with Writer.from_path(out_path, out_header, compression="auto") as w:
+        for p in in_paths:
+            with Reader(
+                open_decompressed(p), buffer_size=buffer_records * 24
+            ) as rd:
+                for batch in rd.batches():
+                    if out_sorted:
+                        bc, umi, idx = (
+                            batch["barcode"], batch["umi"], batch["index"]
+                        )
+                        if not _lex_nondecreasing(bc, umi, idx, prev):
+                            raise ValueError(
+                                f"{p}: records are not in sorted order "
+                                "despite the sorted flag; re-sort the "
+                                "input or clear its flag"
+                            )
+                        prev = (int(bc[-1]), int(umi[-1]), int(idx[-1]))
+                    w.write_batch(batch)
+                    total += len(batch)
+    return {"records": total, "files": len(in_paths), "sorted": out_sorted}

@@ -283,6 +283,21 @@ def cmd_concat(args) -> int:
     return 0
 
 
+def cmd_repair(args) -> int:
+    from ibu_tpu.pipelines import repair_file
+
+    stats = repair_file(args.input, args.output,
+                        bc_len=args.bc_len, umi_len=args.umi_len)
+    for a in stats["actions"]:
+        print(f"repair: {a}", file=sys.stderr)
+    order = "sorted" if stats["sorted"] else "unsorted"
+    print(
+        f"repaired {args.input} -> {args.output}: {stats['records']} "
+        f"records salvaged ({order}, {stats['dropped_bytes']} bytes dropped)"
+    )
+    return 0
+
+
 def cmd_ingest_fastq(args) -> int:
     from ibu_tpu.utils import apply_platform_env
 
@@ -369,6 +384,19 @@ def main(argv=None) -> int:
     p.add_argument("--json", action="store_true",
                    help="emit the full report as one JSON line")
     p.set_defaults(fn=cmd_check)
+
+    p = sub.add_parser(
+        "repair",
+        help="salvage intact records from a damaged file, with a "
+             "truthful sorted flag",
+    )
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--bc-len", type=int, default=None,
+                   help="force barcode length (salvages files with a "
+                        "destroyed header; requires --umi-len)")
+    p.add_argument("--umi-len", type=int, default=None)
+    p.set_defaults(fn=cmd_repair)
 
     p = sub.add_parser(
         "concat",

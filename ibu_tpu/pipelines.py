@@ -912,3 +912,156 @@ def concat_files(
                     w.write_batch(batch)
                     total += len(batch)
     return {"records": total, "files": len(in_paths), "sorted": out_sorted}
+
+
+def repair_file(
+    in_path: str,
+    out_path: str,
+    bc_len: int | None = None,
+    umi_len: int | None = None,
+    buffer_records: int = 512 * 1024,
+    salvage_chunk_bytes: int = 64 * 1024,
+) -> dict:
+    """Salvage a damaged IBU file: copy every intact record to ``out_path``
+    with a truthful header.
+
+    The reference fails fast on corruption (``reader.rs:232-237`` raises
+    and the stream is dead); ``repair_file`` is the recovery tool that
+    pairs with :func:`check_file`:
+
+    * a truncated tail is dropped (everything before the tear survives —
+      including the whole records the reader's refill would discard);
+    * the sorted flag on the output reflects the **observed** order of the
+      salvaged records, not the input's claim — a lying flag is corrected
+      in both directions (cleared when order is broken, set when an
+      unsorted-claimed stream is really sorted, so merge/dedup can use it);
+    * an unreadable header (bad magic/version/lengths) is fatal unless
+      ``bc_len``/``umi_len`` are forced, in which case the 32 header bytes
+      are skipped and the record region re-parsed under the forced
+      dimensions.
+
+    The output is always a plain (uncompressed) file: the observed-order
+    flag is patched into the header after the copy, which needs a seekable
+    sink. Returns ``{"records", "dropped_bytes", "sorted", "actions"}``
+    where ``dropped_bytes`` counts the discarded tail in the decompressed
+    byte domain. A corrupt compression stream (bad gzip CRC, torn zstd
+    frame) stops the salvage at the last cleanly-decompressed record
+    instead of raising.
+    """
+    import struct
+    import zlib
+
+    from ibu_tpu.constructs import HEADER_SIZE, RECORD_SIZE
+    from ibu_tpu.constructs.record import records_from_bytes
+    from ibu_tpu.errors import IbuError
+    from ibu_tpu.io.compression import open_decompressed
+
+    actions: list[str] = []
+    forced = bc_len is not None or umi_len is not None
+    if forced and (bc_len is None or umi_len is None):
+        raise ValueError("force both bc_len and umi_len, or neither")
+
+    # Raw chunked reads with a carry, instead of Reader: the reader's
+    # refill discards its whole records when it hits a torn tail
+    # (reader.py read_batch), exactly the records a salvage must keep.
+    inner = open_decompressed(in_path)
+    try:
+        head = b""
+        while len(head) < HEADER_SIZE:
+            chunk = inner.read(HEADER_SIZE - len(head))
+            if not chunk:
+                break
+            head += chunk
+        if len(head) < HEADER_SIZE:
+            raise IbuError(
+                f"{in_path}: only {len(head)} bytes total; nothing to salvage"
+            )
+        if forced:
+            header = Header.new(bc_len, umi_len)
+            actions.append(
+                f"forced header bc_len={bc_len} umi_len={umi_len} "
+                "(original header bytes discarded)"
+            )
+        else:
+            header = Header.from_bytes(head)
+            header.validate()  # unrecoverable without forced dims
+
+        out_header = Header.new(header.bc_len, header.umi_len)
+        claim = header.sorted()
+        observed_sorted = True
+        prev: tuple[int, int, int] | None = None
+        records = 0
+        dropped = 0
+
+        def _consume(batch, w):
+            nonlocal observed_sorted, prev, records
+            if len(batch) == 0:
+                return
+            if observed_sorted:
+                bc, umi, idx = batch["barcode"], batch["umi"], batch["index"]
+                if not _lex_nondecreasing(bc, umi, idx, prev):
+                    observed_sorted = False
+                prev = (int(bc[-1]), int(umi[-1]), int(idx[-1]))
+            w.write_batch(batch)
+            records += len(batch)
+
+        # Small read granularity bounds the salvage loss on a torn
+        # compression stream: GzipFile.read(n) raises once a request
+        # crosses the tear, discarding whatever it had partially
+        # decompressed — so big reads would lose everything since the
+        # previous request (measured: 12 MB reads salvage 0 records from
+        # a half-torn stream; 64 KB reads salvage all but the last chunk).
+        # ``salvage_chunk_bytes`` tunes that loss bound for small files.
+        chunk_bytes = max(salvage_chunk_bytes, RECORD_SIZE)
+        flush_bytes = buffer_records * RECORD_SIZE
+        with Writer.from_path(out_path, out_header) as w:
+            pending: list[bytes] = []
+            pend_len = 0
+            while True:
+                try:
+                    raw = inner.read(chunk_bytes)
+                except (OSError, EOFError, zlib.error) as e:
+                    actions.append(
+                        f"compression stream died mid-read ({e}); salvage "
+                        "stops at the last cleanly-decompressed chunk"
+                    )
+                    raw = b""
+                if raw:
+                    pending.append(raw)
+                    pend_len += len(raw)
+                if pend_len and (not raw or pend_len >= flush_bytes):
+                    buf = b"".join(pending)
+                    whole = len(buf) - len(buf) % RECORD_SIZE
+                    if whole:
+                        _consume(records_from_bytes(buf[:whole]), w)
+                    pending = [buf[whole:]] if whole != len(buf) else []
+                    pend_len = len(buf) - whole
+                if not raw:
+                    if pend_len:
+                        dropped = pend_len
+                        actions.append(
+                            f"dropped {dropped} trailing bytes "
+                            "(partial record)"
+                        )
+                    break
+    finally:
+        inner.close()
+
+    if observed_sorted and records > 0:
+        out_header.set_sorted()
+        if not claim and not forced:
+            actions.append("set sorted flag (records are in order; "
+                           "input did not claim it)")
+    if not observed_sorted and claim:
+        actions.append("cleared lying sorted flag (records out of order)")
+    # patch the observed-order flag into the already-written plain header
+    with open(out_path, "r+b") as f:
+        f.seek(16)
+        f.write(struct.pack("<Q", out_header.flags))
+
+    return {
+        "records": records,
+        "dropped_bytes": dropped,
+        "sorted": bool(out_header.sorted()),
+        "actions": actions,
+    }

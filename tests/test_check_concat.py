@@ -229,3 +229,105 @@ class TestConcatFiles:
         assert r.returncode == 0, r.stderr
         assert "30 records (sorted)" in r.stdout
         assert len(MmapReader(out)) == 30
+
+
+class TestRepairFile:
+    def test_truncated_tail_salvaged_including_torn_refill(self, tmp_path):
+        from ibu_tpu.pipelines import check_file, repair_file
+
+        p = _write(tmp_path / "t.ibu", _sorted_records(0, 10_000),
+                   sorted_flag=True)
+        raw = open(p, "rb").read()
+        open(p, "wb").write(raw[:-13])
+        out = str(tmp_path / "fixed.ibu")
+        stats = repair_file(p, out)
+        # every whole record survives, not just whole refills
+        assert stats["records"] == 9999 and stats["dropped_bytes"] == 11
+        assert stats["sorted"] is True
+        rep = check_file(out)
+        assert rep["ok"] and rep["records"] == 9999
+
+    def test_lying_sorted_flag_cleared(self, tmp_path):
+        from ibu_tpu.pipelines import repair_file
+
+        recs = _sorted_records(0, 100)[::-1].copy()
+        p = _write(tmp_path / "l.ibu", recs, sorted_flag=True)
+        out = str(tmp_path / "o.ibu")
+        stats = repair_file(p, out)
+        assert stats["records"] == 100 and stats["sorted"] is False
+        assert not MmapReader(out).header().sorted()
+        assert any("lying" in a for a in stats["actions"])
+
+    def test_unclaimed_order_flag_set(self, tmp_path):
+        from ibu_tpu.pipelines import repair_file
+
+        p = _write(tmp_path / "u.ibu", _sorted_records(0, 50))  # no flag
+        out = str(tmp_path / "o.ibu")
+        stats = repair_file(p, out)
+        assert stats["sorted"] is True
+        assert MmapReader(out).header().sorted()
+
+    def test_destroyed_header_with_forced_dims(self, tmp_path):
+        from ibu_tpu.errors import InvalidMagicNumber
+        from ibu_tpu.pipelines import repair_file
+
+        p = _write(tmp_path / "h.ibu", _sorted_records(0, 20), bc_len=9,
+                   umi_len=5, sorted_flag=True)
+        raw = bytearray(open(p, "rb").read())
+        raw[:32] = b"\xde\xad" * 16  # obliterate the header
+        open(p, "wb").write(bytes(raw))
+        out = str(tmp_path / "o.ibu")
+        with pytest.raises(InvalidMagicNumber):
+            repair_file(p, out)
+        stats = repair_file(p, out, bc_len=9, umi_len=5)
+        assert stats["records"] == 20 and stats["sorted"] is True
+        h = MmapReader(out).header()
+        assert (h.bc_len, h.umi_len) == (9, 5)
+        got = np.asarray(MmapReader(out).slice(0, 20))
+        np.testing.assert_array_equal(
+            got["barcode"], np.arange(20, dtype=np.uint64))
+
+    def test_forcing_one_dim_rejected(self, tmp_path):
+        from ibu_tpu.pipelines import repair_file
+
+        p = _write(tmp_path / "x.ibu", _sorted_records(0, 5))
+        with pytest.raises(ValueError, match="both"):
+            repair_file(p, str(tmp_path / "o.ibu"), bc_len=4)
+
+    def test_tiny_fragment_rejected(self, tmp_path):
+        from ibu_tpu.errors import IbuError
+        from ibu_tpu.pipelines import repair_file
+
+        p = tmp_path / "frag.ibu"
+        p.write_bytes(b"IBU!\x02\x00")
+        with pytest.raises(IbuError, match="nothing to salvage"):
+            repair_file(str(p), str(tmp_path / "o.ibu"))
+
+    def test_torn_gzip_stream_salvages_prefix(self, tmp_path):
+        from ibu_tpu.pipelines import repair_file
+
+        p = _write(tmp_path / "g.ibu.gz", _sorted_records(0, 5000),
+                   sorted_flag=True, compression="auto")
+        raw = open(p, "rb").read()
+        open(p, "wb").write(raw[: len(raw) // 2])  # tear the gzip stream
+        out = str(tmp_path / "o.ibu")
+        stats = repair_file(p, out, salvage_chunk_bytes=2400)
+        assert 0 < stats["records"] < 5000
+        assert any("stream died" in a or "partial record" in a
+                   for a in stats["actions"])
+        got = np.asarray(MmapReader(out).slice(0, stats["records"]))
+        np.testing.assert_array_equal(
+            got["barcode"],
+            np.arange(stats["records"], dtype=np.uint64))
+
+    def test_repair_cli(self, tmp_path):
+        p = _write(tmp_path / "t.ibu", _sorted_records(0, 100),
+                   sorted_flag=True)
+        raw = open(p, "rb").read()
+        open(p, "wb").write(raw[:-1])
+        out = str(tmp_path / "fixed.ibu")
+        r = subprocess.run(
+            [sys.executable, "-m", "ibu_tpu", "repair", p, out],
+            capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        assert "99 records salvaged (sorted, 23 bytes dropped)" in r.stdout

@@ -283,6 +283,18 @@ def cmd_concat(args) -> int:
     return 0
 
 
+def cmd_subsample(args) -> int:
+    from ibu_tpu.pipelines import subsample_file
+
+    stats = subsample_file(args.input, args.output,
+                           fraction=args.fraction, n=args.n, seed=args.seed)
+    print(
+        f"subsampled {args.input} -> {args.output}: {stats['sampled']} of "
+        f"{stats['records']} records (seed {stats['seed']})"
+    )
+    return 0
+
+
 def cmd_repair(args) -> int:
     from ibu_tpu.pipelines import repair_file
 
@@ -384,6 +396,21 @@ def main(argv=None) -> int:
     p.add_argument("--json", action="store_true",
                    help="emit the full report as one JSON line")
     p.set_defaults(fn=cmd_check)
+
+    p = sub.add_parser(
+        "subsample",
+        help="keep a seeded uniform random subset of records "
+             "(order-preserving, exact count)",
+    )
+    p.add_argument("input")
+    p.add_argument("output")
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--fraction", type=float, default=None,
+                   help="keep round(fraction * N) records")
+    g.add_argument("--n", type=int, default=None,
+                   help="keep exactly N records")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_subsample)
 
     p = sub.add_parser(
         "repair",

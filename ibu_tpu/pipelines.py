@@ -1065,3 +1065,70 @@ def repair_file(
         "sorted": bool(out_header.sorted()),
         "actions": actions,
     }
+
+
+def subsample_file(
+    in_path: str,
+    out_path: str,
+    fraction: float | None = None,
+    n: int | None = None,
+    seed: int = 0,
+    batch_records: int = 4 * 1024 * 1024,
+) -> dict:
+    """Exact seeded downsampling: keep a uniform random subset of records,
+    without replacement, in one streaming pass.
+
+    Give exactly one of ``fraction`` (0 < f ≤ 1; sample size is
+    ``round(f * N)``) or ``n`` (absolute count ≤ N). File order is
+    preserved, so a sorted input stays sorted and the flag carries over —
+    downsampled files feed merge/dedup unchanged.
+
+    Exactness without materializing indices: per batch, the number drawn
+    is a hypergeometric split of the remaining quota over the remaining
+    records (the batch is the "marked" population), then that many
+    in-batch positions are chosen without replacement. The composition is
+    distributionally identical to ``choice(N, n)`` but needs O(batch)
+    memory — the same out-of-core stance as the rest of the pipelines
+    (the reference has no sampling; its workflows subsample upstream of
+    ingestion).
+
+    Returns ``{"records": N, "sampled": n, "seed": seed}``.
+    """
+    if (fraction is None) == (n is None):
+        raise ValueError("give exactly one of fraction or n")
+    reader = MmapReader(in_path)
+    total = reader.len()
+    if fraction is not None:
+        if not 0.0 < fraction <= 1.0:
+            raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+        n = round(fraction * total)
+    if not 0 <= n <= total:
+        raise ValueError(f"n={n} out of range for a {total}-record file")
+
+    rng = np.random.default_rng(seed)
+    header = reader.header()
+    out_header = Header.new(header.bc_len, header.umi_len)
+    out_header.flags = header.flags  # order preserved → flag stays truthful
+
+    remaining_records = total
+    remaining_quota = n
+    written = 0
+    with Writer.from_path(out_path, out_header) as w:
+        for start in range(0, total, batch_records):
+            end = min(start + batch_records, total)
+            b = end - start
+            remaining_records -= b
+            take = int(rng.hypergeometric(b, remaining_records, remaining_quota)) \
+                if remaining_records else remaining_quota
+            remaining_quota -= take
+            if take == 0:
+                continue
+            batch = np.asarray(reader.slice(start, end))
+            if take == b:
+                w.write_batch(batch)
+            else:
+                keep = np.sort(rng.choice(b, take, replace=False))
+                w.write_batch(batch[keep])
+            written += take
+    assert written == n and remaining_quota == 0
+    return {"records": total, "sampled": written, "seed": seed}

@@ -30,10 +30,22 @@ import sys
 
 
 def cmd_info(args) -> int:
-    from ibu_tpu import MmapReader
+    from ibu_tpu.io.compression import sniff_compression
 
-    r = MmapReader(args.path)
-    h = r.header()
+    with open(args.path, "rb") as f:
+        kind = sniff_compression(f.read(4))
+    if kind is None:
+        from ibu_tpu import MmapReader
+
+        r = MmapReader(args.path)
+        h, n = r.header(), r.len()
+    else:
+        # compressed: no random access, count by streaming the batches
+        from ibu_tpu import Reader
+
+        with Reader.from_path(args.path) as rd:
+            h = rd.header()
+            n = sum(len(b) for b in rd.batches())
     print(json.dumps({
         "path": args.path,
         "magic": "IBU!",
@@ -42,8 +54,9 @@ def cmd_info(args) -> int:
         "umi_len": h.umi_len,
         "sorted": h.sorted(),
         "flags": h.flags,
-        "records": r.len(),
-        "bytes": 32 + 24 * r.len(),
+        "records": n,
+        "bytes": 32 + 24 * n,
+        **({"compression": kind} if kind else {}),
     }))
     return 0
 

@@ -104,3 +104,22 @@ class TestSubsample:
         assert r.returncode == 0, r.stderr
         assert "50 of 500 records (seed 3)" in r.stdout
         assert len(MmapReader(out)) == 50
+
+
+class TestInfoCompressed:
+    def test_info_streams_gzip_files(self, tmp_path):
+        import json
+
+        p = str(tmp_path / "z.ibu.gz")
+        i = np.arange(321, dtype=np.uint64)
+        h = Header.new(8, 6)
+        h.set_sorted()
+        with Writer.from_path(p, h, compression="auto") as w:
+            w.write_batch(make_records(i, i, i))
+        r = subprocess.run(
+            [sys.executable, "-m", "ibu_tpu", "info", p],
+            capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        d = json.loads(r.stdout)
+        assert d["records"] == 321 and d["sorted"] is True
+        assert d["compression"] == "gzip"

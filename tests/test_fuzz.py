@@ -147,3 +147,51 @@ def test_random_roundtrip_config(seed, tmp_path):
             assert np.array_equal(
                 kept, records[np.isin(records["barcode"], allow)]
             )
+
+        # audit + subsample + split→concat + repair legs
+        from ibu_tpu.pipelines import (
+            check_file,
+            concat_files,
+            repair_file,
+            split_file,
+            subsample_file,
+        )
+
+        rep = check_file(str(path))
+        assert rep["ok"] and rep["records"] == n
+
+        if n:
+            k = int(rng.integers(0, n + 1))
+            ss = tmp_path / f"f{seed}.sub.ibu"
+            sstats = subsample_file(
+                str(path), str(ss), n=k, seed=seed,
+                batch_records=batch_records,
+            )
+            assert sstats["sampled"] == k
+            sub = np.asarray(MmapReader(str(ss)).records)
+            assert len(sub) == k
+            v_all = np.ascontiguousarray(records).view("V24").ravel()
+            v_sub = np.ascontiguousarray(sub).view("V24").ravel()
+            assert np.isin(v_sub, v_all).all()  # strict subset of the file
+
+        shards = split_file(
+            str(path), str(tmp_path / f"f{seed}.s{{}}.ibu"),
+            int(rng.integers(1, 5)),
+        )
+        cc = tmp_path / f"f{seed}.cat.ibu"
+        cstats = concat_files(shards, str(cc))
+        assert cstats["records"] == n and cstats["sorted"]
+        assert cc.read_bytes() == path.read_bytes()  # byte-exact inverse
+
+        if n:
+            cut = int(rng.integers(1, 24))  # always tears the last record
+            bad = tmp_path / f"f{seed}.bad.ibu"
+            bad.write_bytes(path.read_bytes()[:-cut])
+            assert not check_file(str(bad))["ok"]
+            rr = tmp_path / f"f{seed}.rep.ibu"
+            rstats = repair_file(str(bad), str(rr))
+            assert rstats["records"] == n - 1
+            assert rstats["dropped_bytes"] == 24 - cut
+            back_r = np.asarray(MmapReader(str(rr)).records)
+            assert np.array_equal(back_r, records[: n - 1])
+            assert check_file(str(rr))["ok"]

@@ -16,7 +16,9 @@ subcommands:
     python -m ibu_tpu ingest-fastq reads.fastq data.ibu     # FASTQ → sorted IBU
     python -m ibu_tpu export-fastq data.ibu out.fastq.gz   # records → FASTQ
     python -m ibu_tpu check data.ibu           # deep integrity audit
+    python -m ibu_tpu repair bad.ibu fixed.ibu # salvage intact records
     python -m ibu_tpu concat out.ibu a.ibu b.ibu  # order-aware concatenation
+    python -m ibu_tpu subsample in.ibu out.ibu --fraction 0.1  # seeded downsample
 
 ``info``/``decode`` are pure host; ``stats``/``histogram``/``export-fastq``
 run on the jax device mesh; ``sort`` uses the native external merge sort.

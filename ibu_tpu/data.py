@@ -82,6 +82,21 @@ class RecordLoader:
                 f"shard_index {shard_index} out of range for "
                 f"shard_count {shard_count}"
             )
+        if isinstance(path_or_reader, str):
+            # mmap needs random access; a gzip/zstd input would otherwise
+            # die with a misleading InvalidMagicNumber (the compression
+            # magic parsed as an IBU header)
+            from ibu_tpu.io.compression import sniff_compression
+
+            with open(path_or_reader, "rb") as f:
+                kind = sniff_compression(f.read(4))
+            if kind is not None:
+                raise ValueError(
+                    f"{path_or_reader} is {kind}-compressed; RecordLoader "
+                    "needs random access into the record region — "
+                    "decompress it first (e.g. `python -m ibu_tpu concat "
+                    "out.ibu in.ibu.gz`)"
+                )
         self._reader = (
             path_or_reader
             if isinstance(path_or_reader, MmapReader)

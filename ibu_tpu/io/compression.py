@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import zlib
 from typing import BinaryIO
 
 from ibu_tpu.errors import CompressionError
@@ -35,6 +36,16 @@ try:  # optional, mirrors the reference's feature gate on niffler
 except ImportError:  # pragma: no cover - depends on environment
     _zstd = None
     _HAVE_ZSTD = False
+
+#: exception types a torn/corrupt compressed stream raises from ``read()``:
+#: gzip raises ``EOFError`` (truncated member) or ``zlib.error`` (corrupt
+#: deflate data / bad CRC), zstd raises ``zstandard.ZstdError``. Consumers
+#: map these to :class:`CompressionError` — the reference's ``Niffler``
+#: variant (``/root/reference/src/error.rs:69-70``).
+DECOMPRESSION_ERRORS: tuple[type[BaseException], ...] = (
+    EOFError,
+    zlib.error,
+) + ((_zstd.ZstdError,) if _HAVE_ZSTD else ())
 
 
 class _PeekableStream(io.RawIOBase):
@@ -136,6 +147,70 @@ class _ChainClosing:
         self.close()
 
 
+class _ZstdFrameReader:
+    """zstd decoder that DETECTS truncation.
+
+    ``ZstdDecompressor.stream_reader`` reports a clean EOF when the
+    underlying stream tears mid-frame (decode stops at the last whole
+    block), silently truncating the record stream — a torn archive whose
+    tear lands on a 24-byte boundary would pass every validity check.
+    Decoding through ``decompressobj`` tracks frame completion (``.eof``),
+    so input ending mid-frame raises ``ZstdError`` instead of masquerading
+    as end-of-data. Handles multi-frame streams (frames restart via
+    ``unused_data``) and verifies content checksums when frames carry them
+    (ours do — see :func:`wrap_compress`).
+    """
+
+    def __init__(self, inner: BinaryIO):
+        self._inner = inner
+        self._dctx = _zstd.ZstdDecompressor()
+        self._obj = self._dctx.decompressobj()
+        self._mid_frame = False  # bytes fed into the current frame?
+        self._parts: list[bytes] = []
+        self._avail = 0
+        self._raw_eof = False
+
+    def _fill(self, want: int) -> None:
+        while self._avail < want and not self._raw_eof:
+            chunk = self._inner.read(1 << 18)
+            if not chunk:
+                self._raw_eof = True
+                if self._mid_frame and not self._obj.eof:
+                    raise _zstd.ZstdError(
+                        "zstd stream truncated: input ended mid-frame"
+                    )
+                return
+            data = chunk
+            while data:
+                out = self._obj.decompress(data)
+                if out:
+                    self._parts.append(out)
+                    self._avail += len(out)
+                self._mid_frame = True
+                if self._obj.eof:
+                    data = self._obj.unused_data
+                    self._obj = self._dctx.decompressobj()
+                    self._mid_frame = False
+                else:
+                    data = b""
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            self._fill(1 << 62)
+            buf = b"".join(self._parts)
+            self._parts, self._avail = [], 0
+            return buf
+        self._fill(n)
+        buf = b"".join(self._parts)
+        out, rest = buf[:n], buf[n:]
+        self._parts = [rest] if rest else []
+        self._avail = len(rest)
+        return out
+
+    def close(self) -> None:
+        self._inner.close()
+
+
 def wrap_decompress(stream: BinaryIO) -> BinaryIO:
     """Sniff ``stream``'s magic and return a transparently-decompressing reader.
 
@@ -158,7 +233,7 @@ def wrap_decompress(stream: BinaryIO) -> BinaryIO:
             raise CompressionError(
                 "zstd-compressed input but the 'zstandard' module is unavailable"
             )
-        zr = _zstd.ZstdDecompressor().stream_reader(replayed)
+        zr = _ZstdFrameReader(replayed)
         return _ChainClosing(zr, replayed)  # type: ignore[return-value]
     raise CompressionError(f"unknown compression kind {kind!r}")
 
@@ -234,7 +309,11 @@ def wrap_compress(stream: BinaryIO, kind: str, level: int | None = None) -> Bina
             raise CompressionError(
                 "zstd output requested but the 'zstandard' module is unavailable"
             )
-        cctx = _zstd.ZstdCompressor(level=3 if level is None else level)
+        # content checksum (4 bytes/frame): lets readers detect bit-level
+        # corruption inside a completed frame, matching gzip's CRC32
+        cctx = _zstd.ZstdCompressor(
+            level=3 if level is None else level, write_checksum=True
+        )
         zw = cctx.stream_writer(stream)
         return _ChainClosing(zw, stream)  # type: ignore[return-value]
     raise CompressionError(

@@ -33,8 +33,17 @@ import numpy as np
 
 from ibu_tpu.constructs.header import HEADER_SIZE, Header
 from ibu_tpu.constructs.record import RECORD_DTYPE, RECORD_SIZE, Record
-from ibu_tpu.errors import IbuIoError, InvalidMapSize, TruncatedRecord
-from ibu_tpu.io.compression import open_decompressed, wrap_decompress
+from ibu_tpu.errors import (
+    CompressionError,
+    IbuIoError,
+    InvalidMapSize,
+    TruncatedRecord,
+)
+from ibu_tpu.io.compression import (
+    DECOMPRESSION_ERRORS,
+    open_decompressed,
+    wrap_decompress,
+)
 
 #: 48K records per refill, same as the reference (``reader.rs:14``).
 DEFAULT_BUFFER_RECORDS: int = 48 * 1024
@@ -173,6 +182,10 @@ class Reader:
                 got += len(chunk)
         except OSError as e:
             raise IbuIoError(e) from e
+        except DECOMPRESSION_ERRORS as e:
+            # torn/corrupt gzip or zstd stream → the reference's Niffler
+            # error variant, so consumers see an IbuError (error.rs:69-70)
+            raise CompressionError(e) from e
         return b"".join(chunks)
 
     def read_batch(self) -> bool:
@@ -192,6 +205,13 @@ class Reader:
                 read += len(chunk)
         except OSError as e:
             raise IbuIoError(e) from e
+        except DECOMPRESSION_ERRORS as e:
+            # gzip raises EOFError/zlib.error and zstd ZstdError when the
+            # compressed stream itself is torn or corrupt — distinct from a
+            # mid-record tear in DECOMPRESSED bytes (TruncatedRecord below).
+            # Map to the reference's Niffler variant (error.rs:69-70) so
+            # whole-file tools (check_file, concat) can catch IbuError.
+            raise CompressionError(e) from e
         if read % RECORD_SIZE != 0:
             non_rem = read - read % RECORD_SIZE
             raise TruncatedRecord(pos=self._bytes_read + non_rem)

@@ -603,7 +603,8 @@ def dedup_file(
     records = molecules = barcodes = 0
     prev: tuple[int, int, int] | None = None
     try:
-        with Writer.from_path(out_path, out_header) as w:
+        with _removed_on_error(out_path), \
+                Writer.from_path(out_path, out_header) as w:
             for start in range(0, n, batch_records):
                 batch = np.asarray(
                     reader.slice(start, min(start + batch_records, n))
@@ -692,6 +693,30 @@ def filter_file(
 # ---------------------------------------------------------------------------
 
 
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def _removed_on_error(path: str):
+    """Delete ``path`` if the wrapped copy fails.
+
+    Writers that validate mid-copy (concat/dedup order verification) must
+    not leave a half-written output behind: its header claims (e.g. the
+    sorted flag) would be trusted by downstream tools. The truthful-header
+    stance of :func:`repair_file`, applied to failure paths.
+    """
+    try:
+        yield
+    except BaseException:
+        try:
+            import os
+
+            os.unlink(path)
+        except OSError:
+            pass
+        raise
+
+
 def check_file(in_path: str, buffer_records: int = 512 * 1024) -> dict:
     """Deep integrity check of an IBU file (plain or gzip/zstd compressed).
 
@@ -719,9 +744,22 @@ def check_file(in_path: str, buffer_records: int = 512 * 1024) -> dict:
     can carry them if written with a different alphabet).
     """
     from ibu_tpu.constructs import HEADER_SIZE, RECORD_SIZE
-    from ibu_tpu.errors import IbuError, TruncatedRecord
+    from ibu_tpu.errors import CompressionError, IbuError, TruncatedRecord
     from ibu_tpu.io.compression import open_decompressed
     from ibu_tpu.io.reader import Reader
+
+    from ibu_tpu.errors import IbuIoError
+
+    def _detail(e: IbuError) -> str:
+        # CompressionError/IbuIoError messages are the reference-parity
+        # "Niffler error"/"I/O error"; surface the wrapped diagnosis for
+        # operator triage
+        if isinstance(e, (CompressionError, IbuIoError)) and e.inner:
+            inner = e.inner
+            if isinstance(inner, BaseException):
+                return f"{e} ({type(inner).__name__}: {inner})"
+            return f"{e} ({inner})"
+        return str(e)
 
     report: dict = {
         "path": in_path,
@@ -740,7 +778,7 @@ def check_file(in_path: str, buffer_records: int = 512 * 1024) -> dict:
         )
     except IbuError as e:
         report["ok"] = False
-        report["errors"].append(f"header: {e}")
+        report["errors"].append(f"header: {_detail(e)}")
         return report
 
     header = reader.header()
@@ -756,7 +794,7 @@ def check_file(in_path: str, buffer_records: int = 512 * 1024) -> dict:
                 batch = reader.read_records()
             except IbuError as e:
                 report["ok"] = False
-                report["errors"].append(f"stream: {e}")
+                report["errors"].append(f"stream: {_detail(e)}")
                 if isinstance(e, TruncatedRecord):
                     # pos is the offset of the first incomplete record
                     # (errors.py TruncatedRecord); whole records before the
@@ -892,25 +930,26 @@ def concat_files(
 
     total = 0
     prev: tuple[int, int, int] | None = None
-    with Writer.from_path(out_path, out_header, compression="auto") as w:
-        for p in in_paths:
-            with Reader(
-                open_decompressed(p), buffer_size=buffer_records * 24
-            ) as rd:
-                for batch in rd.batches():
-                    if out_sorted:
-                        bc, umi, idx = (
-                            batch["barcode"], batch["umi"], batch["index"]
-                        )
-                        if not _lex_nondecreasing(bc, umi, idx, prev):
-                            raise ValueError(
-                                f"{p}: records are not in sorted order "
-                                "despite the sorted flag; re-sort the "
-                                "input or clear its flag"
+    with _removed_on_error(out_path):
+        with Writer.from_path(out_path, out_header, compression="auto") as w:
+            for p in in_paths:
+                with Reader(
+                    open_decompressed(p), buffer_size=buffer_records * 24
+                ) as rd:
+                    for batch in rd.batches():
+                        if out_sorted:
+                            bc, umi, idx = (
+                                batch["barcode"], batch["umi"], batch["index"]
                             )
-                        prev = (int(bc[-1]), int(umi[-1]), int(idx[-1]))
-                    w.write_batch(batch)
-                    total += len(batch)
+                            if not _lex_nondecreasing(bc, umi, idx, prev):
+                                raise ValueError(
+                                    f"{p}: records are not in sorted order "
+                                    "despite the sorted flag; re-sort the "
+                                    "input or clear its flag"
+                                )
+                            prev = (int(bc[-1]), int(umi[-1]), int(idx[-1]))
+                        w.write_batch(batch)
+                        total += len(batch)
     return {"records": total, "files": len(in_paths), "sorted": out_sorted}
 
 
@@ -944,17 +983,20 @@ def repair_file(
     flag is patched into the header after the copy, which needs a seekable
     sink. Returns ``{"records", "dropped_bytes", "sorted", "actions"}``
     where ``dropped_bytes`` counts the discarded tail in the decompressed
-    byte domain. A corrupt compression stream (bad gzip CRC, torn zstd
-    frame) stops the salvage at the last cleanly-decompressed record
-    instead of raising.
+    byte domain. A corrupt compression stream (bad gzip CRC, corrupt zstd
+    block) stops the salvage at the last cleanly-decompressed record
+    instead of raising. Caveat: zstd decodes at block granularity, so a
+    torn zstd frame salvages only up to the last complete block (the tear
+    itself is detected — :class:`ibu_tpu.io.compression._ZstdFrameReader`
+    raises on mid-frame EOF); a torn first block salvages zero records and
+    raises "nothing to salvage".
     """
     import struct
-    import zlib
 
     from ibu_tpu.constructs import HEADER_SIZE, RECORD_SIZE
     from ibu_tpu.constructs.record import records_from_bytes
     from ibu_tpu.errors import IbuError
-    from ibu_tpu.io.compression import open_decompressed
+    from ibu_tpu.io.compression import DECOMPRESSION_ERRORS, open_decompressed
 
     actions: list[str] = []
     forced = bc_len is not None or umi_len is not None
@@ -1020,7 +1062,7 @@ def repair_file(
             while True:
                 try:
                     raw = inner.read(chunk_bytes)
-                except (OSError, EOFError, zlib.error) as e:
+                except (OSError,) + DECOMPRESSION_ERRORS as e:
                     actions.append(
                         f"compression stream died mid-read ({e}); salvage "
                         "stops at the last cleanly-decompressed chunk"
@@ -1092,12 +1134,32 @@ def subsample_file(
     (the reference has no sampling; its workflows subsample upstream of
     ingestion).
 
+    Plain files stream off the mmap; gzip/zstd inputs (sniffed, like every
+    reader) pay one extra decompression pass to learn the record count —
+    the hypergeometric split needs N up front, and compressed streams have
+    no random access. The batch sequence differs between the two paths, so
+    the sampled set for a given seed is path-dependent (but equally exact).
+
     Returns ``{"records": N, "sampled": n, "seed": seed}``.
     """
+    from ibu_tpu.io.compression import open_decompressed, sniff_compression
+    from ibu_tpu.io.reader import Reader
+
     if (fraction is None) == (n is None):
         raise ValueError("give exactly one of fraction or n")
-    reader = MmapReader(in_path)
-    total = reader.len()
+
+    with open(in_path, "rb") as f:
+        compressed = sniff_compression(f.read(4)) is not None
+    if compressed:
+        # counting pass: no random access into a compressed stream
+        with Reader(open_decompressed(in_path)) as r:
+            header = r.header()
+            total = sum(len(b) for b in r.batches())
+    else:
+        reader = MmapReader(in_path)
+        header = reader.header()
+        total = reader.len()
+
     if fraction is not None:
         if not 0.0 < fraction <= 1.0:
             raise ValueError(f"fraction must be in (0, 1], got {fraction}")
@@ -1105,8 +1167,19 @@ def subsample_file(
     if not 0 <= n <= total:
         raise ValueError(f"n={n} out of range for a {total}-record file")
 
+    def batches():
+        if compressed:
+            with Reader(
+                open_decompressed(in_path),
+                buffer_size=batch_records * 24,
+            ) as r:
+                yield from r.batches()
+        else:
+            for start in range(0, total, batch_records):
+                end = min(start + batch_records, total)
+                yield np.asarray(reader.slice(start, end))
+
     rng = np.random.default_rng(seed)
-    header = reader.header()
     out_header = Header.new(header.bc_len, header.umi_len)
     out_header.flags = header.flags  # order preserved → flag stays truthful
 
@@ -1114,16 +1187,14 @@ def subsample_file(
     remaining_quota = n
     written = 0
     with Writer.from_path(out_path, out_header) as w:
-        for start in range(0, total, batch_records):
-            end = min(start + batch_records, total)
-            b = end - start
+        for batch in batches():
+            b = len(batch)
             remaining_records -= b
             take = int(rng.hypergeometric(b, remaining_records, remaining_quota)) \
                 if remaining_records else remaining_quota
             remaining_quota -= take
             if take == 0:
                 continue
-            batch = np.asarray(reader.slice(start, end))
             if take == b:
                 w.write_batch(batch)
             else:

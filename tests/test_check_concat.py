@@ -118,6 +118,81 @@ class TestCheckFile:
         rep = check_file(p)
         assert rep["ok"] and rep["records"] == 50
 
+    def test_torn_gzip_reported_not_raised(self, tmp_path):
+        # gzip raises EOFError (not OSError/IbuError) on a truncated
+        # member; check_file's contract is collect-every-problem, so the
+        # tear must land in the report, never escape as a traceback
+        p = _write(tmp_path / "t.ibu.gz", _sorted_records(0, 5000),
+                   sorted_flag=True, compression="auto")
+        raw = open(p, "rb").read()
+        open(p, "wb").write(raw[: len(raw) // 2])
+        rep = check_file(p)
+        assert not rep["ok"]
+        assert any("stream" in e and "Niffler" in e for e in rep["errors"])
+
+    def test_torn_gzip_check_cli_reports_corrupt(self, tmp_path):
+        p = _write(tmp_path / "c.ibu.gz", _sorted_records(0, 5000),
+                   sorted_flag=True, compression="auto")
+        raw = open(p, "rb").read()
+        open(p, "wb").write(raw[: len(raw) // 2])
+        r = subprocess.run(
+            [sys.executable, "-m", "ibu_tpu", "check", p],
+            capture_output=True, text=True)
+        assert r.returncode == 1, r.stderr
+        assert "CORRUPT" in r.stdout and "Traceback" not in r.stderr
+
+    def test_torn_zstd_reported_not_raised(self, tmp_path):
+        pytest.importorskip("zstandard")
+        p = _write(tmp_path / "t.ibu.zst", _sorted_records(0, 5000),
+                   sorted_flag=True, compression="auto")
+        raw = open(p, "rb").read()
+        # mid-frame tear: the frame-tracking decoder must flag it —
+        # zstandard's stream_reader would report a clean (silently
+        # truncating) EOF here
+        open(p, "wb").write(raw[: len(raw) // 2])
+        rep = check_file(p)
+        assert not rep["ok"]
+        assert any("Niffler" in e and "truncated" in e
+                   for e in rep["errors"])
+
+    def test_bitflipped_zstd_frame_checksum_caught(self, tmp_path):
+        pytest.importorskip("zstandard")
+        p = _write(tmp_path / "f.ibu.zst", _sorted_records(0, 5000),
+                   sorted_flag=True, compression="auto")
+        raw = bytearray(open(p, "rb").read())
+        raw[len(raw) // 2] ^= 0x10  # corrupt inside the frame
+        open(p, "wb").write(bytes(raw))
+        rep = check_file(p)  # content checksum (write_checksum=True)
+        assert not rep["ok"] and any("Niffler" in e for e in rep["errors"])
+
+    def test_torn_zstd_repair_salvages_block_prefix(self, tmp_path):
+        pytest.importorskip("zstandard")
+        from ibu_tpu.pipelines import repair_file
+
+        p = _write(tmp_path / "r.ibu.zst", _sorted_records(0, 50_000),
+                   sorted_flag=True, compression="auto")
+        raw = open(p, "rb").read()
+        open(p, "wb").write(raw[: len(raw) // 2])
+        out = str(tmp_path / "o.ibu")
+        stats = repair_file(p, out)
+        # salvage keeps every record up to the last complete zstd block
+        assert 0 < stats["records"] < 50_000
+        assert any("stream died" in a for a in stats["actions"])
+        got = np.asarray(MmapReader(out).slice(0, stats["records"]))
+        np.testing.assert_array_equal(
+            got["barcode"], np.arange(stats["records"], dtype=np.uint64))
+
+    def test_corrupt_gzip_crc_reported_not_raised(self, tmp_path):
+        # bit-flip INSIDE the deflate stream → zlib.error or a CRC
+        # EOFError at member end, depending on where the flip lands
+        p = _write(tmp_path / "x.ibu.gz", _sorted_records(0, 5000),
+                   sorted_flag=True, compression="auto")
+        raw = bytearray(open(p, "rb").read())
+        raw[len(raw) // 2] ^= 0xFF
+        open(p, "wb").write(bytes(raw))
+        rep = check_file(p)  # must not raise
+        assert not rep["ok"]
+
     def test_cli_exit_codes(self, tmp_path):
         good = _write(tmp_path / "good.ibu", _sorted_records(0, 5))
         bad = _write(tmp_path / "bad.ibu", _sorted_records(0, 5))
@@ -201,8 +276,12 @@ class TestConcatFiles:
         a = _write(tmp_path / "a.ibu", _sorted_records(0, 100),
                    sorted_flag=True)
         b = _write(tmp_path / "b.ibu", recs, sorted_flag=True)
+        out = tmp_path / "o.ibu"
         with pytest.raises(ValueError, match="sorted order"):
-            concat_files([a, b], str(tmp_path / "o.ibu"))
+            concat_files([a, b], str(out))
+        # the partial output (with a sorted-claiming header downstream
+        # tools would trust) must not survive the failed copy
+        assert not out.exists()
 
     def test_gzip_inputs_and_compressed_output(self, tmp_path):
         a = _write(tmp_path / "a.ibu.gz", _sorted_records(0, 40),

@@ -108,6 +108,22 @@ class TestHostPath:
         assert len(seen) == 2 * len(ld)
         assert not np.array_equal(_indices(seen[:5]), _indices(seen[5:]))
 
+    def test_compressed_path_clear_error(self, tmp_path):
+        import gzip
+
+        from ibu_tpu import Header, Writer
+        from ibu_tpu.constructs.record import make_records
+        from ibu_tpu.data import RecordLoader
+
+        i = np.arange(100, dtype=np.uint64)
+        p = str(tmp_path / "z.ibu.gz")
+        with Writer.from_path(p, Header.new(8, 6), compression="auto") as w:
+            w.write_batch(make_records(i, i, i))
+        # without the sniff this died with a misleading InvalidMagicNumber
+        # (the gzip magic parsed as an IBU header)
+        with pytest.raises(ValueError, match="gzip-compressed"):
+            RecordLoader(p, batch_records=10)
+
     def test_bad_args_rejected(self, ibu_file):
         path, _ = ibu_file
         with pytest.raises(ValueError, match="batch_records"):

@@ -140,6 +140,8 @@ class TestDedupFile:
         self._write(src, recs, sorted_flag=True)
         with pytest.raises(ValueError, match="not in sorted order"):
             dedup_file(str(src), str(dst))
+        # no partial output with a sorted-claiming header left behind
+        assert not dst.exists()
 
     def test_empty_file(self, tmp_path):
         src, dst = tmp_path / "e.ibu", tmp_path / "eo.ibu"

@@ -42,6 +42,26 @@ class TestSubsample:
         assert np.all(np.diff(got.astype(np.int64)) > 0)  # order preserved
         assert got.max() < 10_000
 
+    def test_gzip_input_streams_two_pass(self, tmp_path):
+        # compressed inputs can't mmap: a counting pass then a sampling
+        # pass, same exactness guarantees
+        n = 10_000
+        i = np.arange(n, dtype=np.uint64)
+        h = Header.new(8, 6)
+        h.set_sorted()
+        p = str(tmp_path / "in.ibu.gz")
+        with Writer.from_path(p, h, compression="auto") as w:
+            w.write_batch(make_records(i, i % np.uint64(13), i))
+        out = str(tmp_path / "o.ibu")
+        stats = subsample_file(p, out, n=500, seed=7, batch_records=1024)
+        assert stats == {"records": n, "sampled": 500, "seed": 7}
+        r = MmapReader(out)
+        assert len(r) == 500 and r.header().sorted()
+        got = np.asarray(r.slice(0, 500))["index"]
+        assert len(np.unique(got)) == 500
+        assert np.all(np.diff(got.astype(np.int64)) > 0)
+        assert got.max() < n
+
     def test_fraction_rounds_and_seeds_differ(self, tmp_path):
         p = _file(tmp_path, 1000)
         a, b = str(tmp_path / "a.ibu"), str(tmp_path / "b.ibu")

@@ -64,9 +64,9 @@ def _pad_rows_a(planes: jax.Array) -> jax.Array:
     return jnp.pad(planes, ((0, _MIN_ROWS - L), (0, 0)), constant_values=65)
 
 
-def _encode_tile(codes: jax.Array, lo_rows: int, hi_rows: int) -> jax.Array:
-    """Pack a ``(L, TN)`` int32 code tile into a ``(2, TN)`` uint32 [lo, hi]
-    tile.
+def _encode_tile_vpu(codes: jax.Array, lo_rows: int, hi_rows: int) -> jax.Array:
+    """VPU shifted-sum encode (the r1/r2 production form; kept as the
+    reference formulation and for lab comparisons).
 
     Disjoint 2-bit fields make sum ≡ bitwise-or, and the shift vector is a
     compile-time iota along the sublane axis. Accumulation runs in **int32**
@@ -82,6 +82,48 @@ def _encode_tile(codes: jax.Array, lo_rows: int, hi_rows: int) -> jax.Array:
     else:
         hi = jnp.zeros_like(lo)
     return jax.lax.bitcast_convert_type(jnp.stack([lo, hi]), jnp.uint32)
+
+
+def _encode_tile(codes: jax.Array, lo_rows: int, hi_rows: int) -> jax.Array:
+    """Pack a ``(L, TN)`` int32 code tile into a ``(2, TN)`` uint32 [lo, hi]
+    tile — on the MXU.
+
+    ``word = Σ code_i · 4^i`` is a dot product. Splitting it into 16-bit
+    halves (bases 0-7 → bits 0-15, bases 8-15 → bits 16-31) keeps every
+    partial sum ≤ 65535: 2-bit codes and power-of-4 weights make each
+    product exact in f32, and an 8-term sum of disjoint 2-bit fields stays
+    within the 24-bit mantissa, so the f32 matmul is bit-exact. The halves
+    recombine in int32 (``h0 | h1 << 16``; the ``<< 16`` wraps two's-
+    complement, preserved by the final uint32 bitcast).
+
+    Measured on v5e (tools/sol_lab.py, round 3): the cross-sublane
+    shifted-sum reduce this replaces cost 0.63 ms/iter over the pure-copy
+    floor; the (2, L) × (L, TN) matmul costs 0.24 ms and runs on the
+    otherwise-idle MXU — whole-roundtrip headline +5%. The weight matrix
+    is built in-kernel from iotas (pallas kernels cannot capture array
+    constants): ``w[g, i] = 4^(i - 8g)`` for ``0 ≤ i - 8g < 8`` else 0.
+    """
+
+    def pack(c: jax.Array) -> jax.Array:
+        rows = c.shape[0]
+        g = jax.lax.broadcasted_iota(jnp.int32, (2, rows), 0)
+        i = jax.lax.broadcasted_iota(jnp.int32, (2, rows), 1)
+        e = i - 8 * g
+        w = jnp.where(
+            (e >= 0) & (e < 8), jnp.int32(1) << (2 * jnp.clip(e, 0, 7)), 0
+        ).astype(jnp.float32)
+        h = jnp.dot(w, c.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+        return h[0:1].astype(jnp.int32) | (h[1:2].astype(jnp.int32) << 16)
+
+    lo = pack(codes[:lo_rows])
+    if hi_rows > 0:
+        hi = pack(codes[lo_rows : lo_rows + hi_rows])
+    else:
+        hi = jnp.zeros_like(lo)
+    return jax.lax.bitcast_convert_type(
+        jnp.concatenate([lo, hi], axis=0), jnp.uint32
+    )
 
 
 def _ascii_to_codes(planes: jax.Array) -> jax.Array:

@@ -154,6 +154,41 @@ def _encode_tile_tree(codes, lo_rows, hi_rows):
     return jax.lax.bitcast_convert_type(jnp.stack([lo, hi]), jnp.uint32)
 
 
+def _encode_tile_mxu(codes, lo_rows, hi_rows):
+    """Encode via MXU dot products instead of the VPU shifted-sum reduce.
+
+    ``lo = Σ c_i 4^i`` is a dot product; splitting it into two 16-bit
+    halves (bases 0-7 and 8-15) keeps every partial sum ≤ 65535, exact in
+    f32, and the halves recombine in int32 (``h0 | h1 << 16``). The MXU is
+    idle in this kernel — if Mosaic lowers the (2, L) × (L, TN) matmul
+    without a costly relayout, the cross-sublane reduce (the last ~10% vs
+    the copy floor per RESULTS r2) leaves the VPU entirely.
+    """
+    def pack(c):
+        rows = c.shape[0]
+        # weights built in-kernel (pallas kernels cannot capture array
+        # constants): w[g, i] = 4^(i-8g) where 0 <= i-8g < 8 else 0
+        g = jax.lax.broadcasted_iota(jnp.int32, (2, rows), 0)
+        i = jax.lax.broadcasted_iota(jnp.int32, (2, rows), 1)
+        e = i - 8 * g
+        valid = (e >= 0) & (e < 8)
+        w = jnp.where(
+            valid, jnp.int32(1) << (2 * jnp.clip(e, 0, 7)), 0
+        ).astype(jnp.float32)
+        h = jnp.dot(w, c.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+        return h[0:1].astype(jnp.int32) | (h[1:2].astype(jnp.int32) << 16)
+
+    lo = pack(codes[:lo_rows])
+    if hi_rows > 0:
+        hi = pack(codes[lo_rows : lo_rows + hi_rows])
+    else:
+        hi = jnp.zeros_like(lo)
+    return jax.lax.bitcast_convert_type(
+        jnp.concatenate([lo, hi], axis=0), jnp.uint32
+    )
+
+
 def make_plane(tile_n, enc_mode: str, dec_mode: str):
     """Roundtrip with independently selectable encode/decode compute:
     ``real`` (production codec), ``real8``/``real16`` (narrow-dtype code
@@ -163,14 +198,18 @@ def make_plane(tile_n, enc_mode: str, dec_mode: str):
 
     def enc_kernel(salt_ref, bc_ref, umi_ref, idx_ref, out_ref):
         idx = idx_ref[:] ^ salt_ref[0]
-        if enc_mode in ("real", "real8", "real16", "tree"):
+        if enc_mode in ("real", "real8", "real16", "tree", "mxu"):
             to_codes = {
                 "real": _ascii_to_codes,
                 "real8": lambda p: _ascii_to_codes_narrow(p, jnp.int8),
                 "real16": lambda p: _ascii_to_codes_narrow(p, jnp.int16),
                 "tree": _ascii_to_codes,
+                "mxu": _ascii_to_codes,
             }[enc_mode]
-            tile = _encode_tile_tree if enc_mode == "tree" else _encode_tile
+            tile = {
+                "tree": _encode_tile_tree,
+                "mxu": _encode_tile_mxu,
+            }.get(enc_mode, _encode_tile)
             bc = tile(to_codes(bc_ref[:]), BC, 0)
             umi = tile(to_codes(umi_ref[:]), UMI, 0)
             out_ref[:] = jnp.concatenate([bc, umi, idx], axis=0)
@@ -466,6 +505,9 @@ def main():
         "e16lut16": (make_plane(tile_n, "real16", "lut16"), plane_inputs,
                      True),
         "e8lut8": (make_plane(tile_n, "real8", "lut8"), plane_inputs, True),
+        "mxu": (make_plane(tile_n, "mxu", "real"), plane_inputs, True),
+        "mxu_only": (make_plane(tile_n, "mxu", "touch"), plane_inputs,
+                     False),
         "packed": (make_packed(tile_n, sol=False), packed_inputs, True),
         "packed_sol": (make_packed(tile_n, sol=True), packed_inputs, False),
     }

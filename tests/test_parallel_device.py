@@ -261,6 +261,30 @@ class TestDeviceHistogram:
         h = DeviceHistogram(capacity=64, max_uniques_per_shard=32)
         assert h.run(iter([records])) == {int(big): 2, 5: 1}
 
+    @pytest.mark.parametrize("merge_every", [1, 3, 8])
+    def test_staging_fill_levels_exact(self, merge_every):
+        # exactness must hold at every stage-fill level: batch counts that
+        # end exactly on a merge boundary, one short of it, and one past it
+        from ibu_tpu.parallel.device import DeviceHistogram
+
+        records = random_records(11_000, seed=31, bc_space=300)
+        want = barcode_histogram_np(records)
+        for nbatches in (merge_every - 1 or 1, merge_every,
+                         merge_every + 1, 2 * merge_every + 1):
+            bounds = np.linspace(0, len(records), nbatches + 1).astype(int)
+            h = DeviceHistogram(capacity=1024, max_uniques_per_shard=512,
+                                merge_every=merge_every)
+            got = h.run(
+                iter([records[s:e] for s, e in zip(bounds, bounds[1:])])
+            )
+            assert got == want, (merge_every, nbatches)
+
+    def test_merge_every_validated(self):
+        from ibu_tpu.parallel.device import DeviceHistogram
+
+        with pytest.raises(ValueError, match="merge_every"):
+            DeviceHistogram(capacity=64, merge_every=0)
+
     def test_capacity_overflow_raises_at_finalize(self):
         from ibu_tpu.parallel.device import DeviceHistogram
 

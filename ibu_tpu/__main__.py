@@ -13,6 +13,7 @@ subcommands:
     python -m ibu_tpu decode data.ibu          # records → TSV (bc, umi, idx)
     python -m ibu_tpu dedup in.ibu out.ibu     # one record per (bc, umi) pair
     python -m ibu_tpu filter in.ibu out.ibu --barcodes cells.txt  # allowlist
+    python -m ibu_tpu correct in.ibu out.ibu --barcodes cells.txt # Hamming-1 fix
     python -m ibu_tpu ingest-fastq reads.fastq data.ibu     # FASTQ → sorted IBU
     python -m ibu_tpu export-fastq data.ibu out.fastq.gz   # records → FASTQ
     python -m ibu_tpu check data.ibu           # deep integrity audit
@@ -253,6 +254,26 @@ def cmd_filter(args) -> int:
     return 0
 
 
+def cmd_correct(args) -> int:
+    from ibu_tpu.utils import apply_platform_env
+
+    apply_platform_env()
+    from ibu_tpu.io.mmap import MmapReader
+    from ibu_tpu.pipelines import correct_file
+
+    bc_len = MmapReader(args.input).header().bc_len
+    allow = _parse_barcode_list(args.barcodes, bc_len)
+    stats = correct_file(args.input, args.output, allow,
+                         keep_unmatched=args.keep_unmatched)
+    print(
+        f"correct {args.input} -> {args.output}: {stats['exact']} exact, "
+        f"{stats['corrected']} corrected, {stats['dropped']} "
+        f"{'unmatched kept' if args.keep_unmatched else 'dropped'} of "
+        f"{stats['records']} records (allowlist of {stats['allowlist']})"
+    )
+    return 0
+
+
 def cmd_dedup(args) -> int:
     from ibu_tpu.pipelines import dedup_file
 
@@ -465,6 +486,25 @@ def main(argv=None) -> int:
         help="keep records whose barcode is NOT in the list",
     )
     p.set_defaults(fn=cmd_filter)
+
+    p = sub.add_parser(
+        "correct",
+        help="correct barcode sequencing errors against an allowlist "
+             "(Hamming distance <= 1; ambiguous/unmatched records dropped)",
+    )
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument(
+        "--barcodes", required=True,
+        help="allowlist file: one barcode per line (ACGT sequence of the "
+             "file's bc length, or an integer)",
+    )
+    p.add_argument(
+        "--keep-unmatched", action="store_true",
+        help="pass unmatched/ambiguous records through unchanged instead "
+             "of dropping them",
+    )
+    p.set_defaults(fn=cmd_correct)
 
     p = sub.add_parser(
         "dedup",

@@ -689,6 +689,96 @@ def filter_file(
 
 
 # ---------------------------------------------------------------------------
+# barcode error correction
+# ---------------------------------------------------------------------------
+
+
+def correct_file(
+    in_path: str,
+    out_path: str,
+    barcodes,
+    batch_records: int = 4 * 1024 * 1024,
+    keep_unmatched: bool = False,
+) -> dict:
+    """Correct sequencing errors in barcodes against an allowlist
+    (Hamming distance ≤ 1) — the standard step between cell filtering and
+    UMI deduplication (beyond the reference's capability set; policy and
+    kernel design in :mod:`ibu_tpu.ops.correct`).
+
+    Per record: an exact allowlist barcode is kept; a barcode with exactly
+    one allowlist entry at Hamming distance 1 is rewritten to it; anything
+    else is dropped (or passed through unchanged with
+    ``keep_unmatched=True``, e.g. to chain a later round). Streams with
+    O(batch) memory; the Hamming probe runs once per unique barcode per
+    batch on the device (u32 path for ≤16-base barcodes, numpy otherwise).
+
+    Correction rewrites barcode values, so record order is generally not
+    preserved in the sort sense: the output's sorted flag is set only when
+    the written stream is verified nondecreasing during the pass (it often
+    is — correction maps *to* allowlist values that sort near the
+    original). Returns ``{"records", "exact", "corrected", "dropped",
+    "allowlist"}``.
+    """
+    allow = np.unique(np.asarray(list(barcodes), dtype=np.uint64))
+    from ibu_tpu.ops.correct import CORRECTED, DROP, EXACT, correct_batch
+
+    reader = MmapReader(in_path)
+    header = reader.header()
+    out_header = Header.new(header.bc_len, header.umi_len)
+
+    n = reader.len()
+    exact = corrected = dropped = written = 0
+    observed_sorted = True
+    prev: tuple[int, int, int] | None = None
+    with _removed_on_error(out_path):
+        with Writer.from_path(out_path, out_header) as w:
+            for start in range(0, n, batch_records):
+                batch = np.asarray(
+                    reader.slice(start, min(start + batch_records, n))
+                ).copy()
+                fixed, status = correct_batch(
+                    batch["barcode"], allow, header.bc_len
+                )
+                batch["barcode"] = fixed
+                keep = (
+                    np.ones(len(batch), dtype=bool)
+                    if keep_unmatched
+                    else status != DROP
+                )
+                out = batch[keep]
+                exact += int(np.count_nonzero(status == EXACT))
+                corrected += int(np.count_nonzero(status == CORRECTED))
+                dropped += int(np.count_nonzero(status == DROP))
+                if observed_sorted and len(out):
+                    if not _lex_nondecreasing(
+                        out["barcode"], out["umi"], out["index"], prev
+                    ):
+                        observed_sorted = False
+                    prev = (
+                        int(out["barcode"][-1]),
+                        int(out["umi"][-1]),
+                        int(out["index"][-1]),
+                    )
+                w.write_batch(out)
+                written += len(out)
+    if observed_sorted and written > 0:
+        # patch the observed-order flag post-copy (repair_file convention)
+        import struct
+
+        out_header.set_sorted()
+        with open(out_path, "r+b") as f:
+            f.seek(16)
+            f.write(struct.pack("<Q", out_header.flags))
+    return {
+        "records": n,
+        "exact": exact,
+        "corrected": corrected,
+        "dropped": dropped,
+        "allowlist": int(len(allow)),
+    }
+
+
+# ---------------------------------------------------------------------------
 # integrity checking and concatenation
 # ---------------------------------------------------------------------------
 

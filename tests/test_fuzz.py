@@ -148,6 +148,38 @@ def test_random_roundtrip_config(seed, tmp_path):
                 kept, records[np.isin(records["barcode"], allow)]
             )
 
+        # barcode-correction leg vs an independent brute-force oracle:
+        # Hamming distances computed on DECODED base rows, not the XOR
+        # trick the production kernel uses
+        if n:
+            from ibu_tpu.pipelines import correct_file
+
+            base = rng.choice(records["barcode"],
+                              size=int(rng.integers(1, 5)), replace=True)
+            mut = base ^ (
+                rng.integers(1, 4, len(base)).astype(np.uint64)
+                << (2 * rng.integers(0, bc_len, len(base)).astype(np.uint64))
+            )
+            allow = np.unique(np.concatenate([base, mut]))
+            rows = C.np_unpack(records["barcode"], bc_len)  # (n, L) ASCII
+            arows = C.np_unpack(allow, bc_len)  # (K, L)
+            dist = (rows[:, None, :] != arows[None, :, :]).sum(axis=2)
+            is_exact = (dist == 0).any(axis=1)
+            n1 = (dist == 1).sum(axis=1)
+            keep = is_exact | (n1 == 1)
+            fixed_bc = records["barcode"].copy()
+            fix_rows = ~is_exact & (n1 == 1)
+            fixed_bc[fix_rows] = allow[(dist == 1).argmax(axis=1)[fix_rows]]
+            want_kept = records[keep].copy()
+            want_kept["barcode"] = fixed_bc[keep]
+            co = tmp_path / f"f{seed}.corr.ibu"
+            cstats2 = correct_file(str(path), str(co), allow)
+            assert cstats2["exact"] == int(is_exact.sum())
+            assert cstats2["corrected"] == int(fix_rows.sum())
+            assert cstats2["dropped"] == n - int(keep.sum())
+            got_kept = np.asarray(MmapReader(str(co)).records)
+            assert np.array_equal(got_kept, want_kept)
+
         # audit + subsample + split→concat + repair legs
         from ibu_tpu.pipelines import (
             check_file,

@@ -14,6 +14,7 @@ subcommands:
     python -m ibu_tpu dedup in.ibu out.ibu     # one record per (bc, umi) pair
     python -m ibu_tpu filter in.ibu out.ibu --barcodes cells.txt  # allowlist
     python -m ibu_tpu correct in.ibu out.ibu --barcodes cells.txt # Hamming-1 fix
+    python -m ibu_tpu count in.ibu counts      # barcode x index matrix (.mtx)
     python -m ibu_tpu ingest-fastq reads.fastq data.ibu     # FASTQ → sorted IBU
     python -m ibu_tpu export-fastq data.ibu out.fastq.gz   # records → FASTQ
     python -m ibu_tpu check data.ibu           # deep integrity audit
@@ -254,6 +255,19 @@ def cmd_filter(args) -> int:
     return 0
 
 
+def cmd_count(args) -> int:
+    from ibu_tpu.pipelines import count_matrix
+
+    stats = count_matrix(args.input, args.prefix, dedup=not args.raw_reads)
+    what = "reads" if args.raw_reads else "molecules"
+    print(
+        f"count {args.input} -> {args.prefix}.mtx: "
+        f"{stats['barcodes']} barcodes x {stats['indices']} indices, "
+        f"{stats['entries']} nonzero entries, {stats['molecules']} {what}"
+    )
+    return 0
+
+
 def cmd_correct(args) -> int:
     from ibu_tpu.utils import apply_platform_env
 
@@ -486,6 +500,18 @@ def main(argv=None) -> int:
         help="keep records whose barcode is NOT in the list",
     )
     p.set_defaults(fn=cmd_filter)
+
+    p = sub.add_parser(
+        "count",
+        help="barcode x index molecule-count matrix (MatrixMarket trio)",
+    )
+    p.add_argument("input")
+    p.add_argument("prefix", help="output prefix: writes {prefix}.mtx, "
+                                  "{prefix}.barcodes.txt, {prefix}.indices.txt")
+    p.add_argument("--raw-reads", action="store_true",
+                   help="count raw reads per (barcode, index) instead of "
+                        "UMI-deduplicated molecules")
+    p.set_defaults(fn=cmd_count)
 
     p = sub.add_parser(
         "correct",

@@ -689,6 +689,119 @@ def filter_file(
 
 
 # ---------------------------------------------------------------------------
+# count matrix (barcode × index molecule counts)
+# ---------------------------------------------------------------------------
+
+
+def count_matrix(
+    in_path: str,
+    out_prefix: str,
+    batch_records: int = 4 * 1024 * 1024,
+    dedup: bool = True,
+) -> dict:
+    """Build the barcode × index molecule-count matrix — the terminal
+    artifact of the BUS-style workflow this format feeds (bustools
+    ``count`` equivalent; beyond the reference's capability set).
+
+    Semantics: with ``dedup=True`` (default) the entry ``M[barcode,
+    index]`` is the number of DISTINCT ``(barcode, umi, index)`` triples —
+    reads sharing all three are PCR duplicates of one molecule (the same
+    convention as :func:`dedup_file`; running this on an already
+    deduplicated file gives identical results). ``dedup=False`` counts raw
+    reads per ``(barcode, index)`` pair.
+
+    Streaming pass with vectorized per-batch uniquing; cross-batch
+    duplicates collapse in one final global unique. Memory is O(distinct
+    triples) — the size of the answer — so arbitrarily large raw files
+    reduce as long as their molecule table fits RAM (dedup_file's
+    out-of-core pass first, then ``dedup=False`` here, covers the rest).
+
+    Output (MatrixMarket sparse trio, 1-based coordinates):
+
+    * ``{out_prefix}.mtx``       — ``rows = barcodes``, ``cols = indices``
+    * ``{out_prefix}.barcodes.txt`` — row labels as ACGT sequences
+    * ``{out_prefix}.indices.txt``  — column labels as integer index values
+
+    Returns ``{"barcodes", "indices", "entries", "molecules", "records"}``.
+    """
+    reader = MmapReader(in_path)
+    header = reader.header()
+    n = reader.len()
+
+    fields = ["barcode", "index"] + (["umi"] if dedup else [])
+    key_dtype = [(f, "<u8") for f in fields]
+    parts: list[np.ndarray] = []
+    part_counts: list[np.ndarray] = []  # dedup=False: read multiplicities
+    for start in range(0, n, batch_records):
+        batch = np.asarray(reader.slice(start, min(start + batch_records, n)))
+        keys = np.empty(len(batch), dtype=key_dtype)
+        for f in fields:
+            keys[f] = batch[f]
+        if dedup:
+            # triple uniquing is idempotent, so per-batch + final global
+            # unique collapses cross-batch duplicates exactly
+            parts.append(np.unique(keys))
+        else:
+            u, c = np.unique(keys, return_counts=True)
+            parts.append(u)
+            part_counts.append(c)
+
+    if parts:
+        merged = np.concatenate(parts)
+    else:
+        merged = np.empty(0, dtype=key_dtype)
+
+    pairs = np.empty(len(merged), dtype=[("barcode", "<u8"), ("index", "<u8")])
+    pairs["barcode"], pairs["index"] = merged["barcode"], merged["index"]
+    if dedup:
+        triples = np.unique(merged)
+        pairs = np.empty(
+            len(triples), dtype=[("barcode", "<u8"), ("index", "<u8")]
+        )
+        pairs["barcode"], pairs["index"] = triples["barcode"], triples["index"]
+        uniq_pairs, counts = np.unique(pairs, return_counts=True)
+    else:
+        # sum per-batch read counts over the global pair set
+        weights = (
+            np.concatenate(part_counts)
+            if part_counts
+            else np.empty(0, np.int64)
+        )
+        uniq_pairs, inv = np.unique(pairs, return_inverse=True)
+        counts = np.zeros(len(uniq_pairs), dtype=np.int64)
+        np.add.at(counts, inv, weights)
+
+    barcodes = np.unique(uniq_pairs["barcode"])
+    indices = np.unique(uniq_pairs["index"])
+    row = np.searchsorted(barcodes, uniq_pairs["barcode"])
+    col = np.searchsorted(indices, uniq_pairs["index"])
+
+    with open(f"{out_prefix}.mtx", "w") as f:
+        f.write("%%MatrixMarket matrix coordinate integer general\n")
+        f.write("%rows=barcodes cols=record-indices "
+                f"source={in_path} dedup={dedup}\n")
+        f.write(f"{len(barcodes)} {len(indices)} {len(uniq_pairs)}\n")
+        if len(uniq_pairs):
+            block = np.empty((len(uniq_pairs), 3), dtype=np.int64)
+            block[:, 0] = row + 1
+            block[:, 1] = col + 1
+            block[:, 2] = counts
+            np.savetxt(f, block, fmt="%d")
+    with open(f"{out_prefix}.barcodes.txt", "w") as f:
+        f.writelines(s + "\n" for s in C.decode_seqs(barcodes, header.bc_len))
+    with open(f"{out_prefix}.indices.txt", "w") as f:
+        f.writelines(f"{int(i)}\n" for i in indices)
+
+    return {
+        "barcodes": int(len(barcodes)),
+        "indices": int(len(indices)),
+        "entries": int(len(uniq_pairs)),
+        "molecules": int(counts.sum()),
+        "records": n,
+    }
+
+
+# ---------------------------------------------------------------------------
 # barcode error correction
 # ---------------------------------------------------------------------------
 

@@ -75,6 +75,17 @@ class TestFastqIngest:
         assert "barcodes sorted: True" in p.stdout
 
 
+class TestWorkflowExample:
+    def test_full_chain_recovers_planted_truth(self, tmp_path):
+        p = run([f"{REPO}/examples/workflow.py", "--reads", "20000",
+                 "--cells", "40", "--genes", "20",
+                 "--workdir", str(tmp_path)], timeout=300)
+        assert p.returncode == 0, p.stderr + p.stdout
+        assert "surviving entries match the planted truth" in p.stdout
+        assert "100.0% coverage" in p.stdout
+        assert os.path.exists(tmp_path / "counts.mtx")
+
+
 class TestBench:
     def test_bench_cpu_emits_json_line(self):
         p = run([f"{REPO}/bench.py", "--records", "65536", "--iters", "2"],

@@ -133,6 +133,51 @@ class TestCompression:
         r = Reader.from_path(str(p))
         assert len(list(r)) == 100
 
+    def test_multi_frame_zstd_reads_across_frames(self, tmp_path):
+        # one logical record stream split across TWO zstd frames: the
+        # frame-tracking decoder must restart cleanly at the boundary
+        zstd = pytest.importorskip("zstandard")
+        raw = build_stream(100).getvalue()
+        cut = 32 + 24 * 37  # frame boundary mid-stream, record-aligned
+        c = zstd.ZstdCompressor(write_checksum=True)
+        p = tmp_path / "two.ibu.zst"
+        p.write_bytes(c.compress(raw[:cut]) + c.compress(raw[cut:]))
+        r = Reader.from_path(str(p))
+        assert len(list(r)) == 100
+
+    def test_multi_member_gzip_reads_across_members(self, tmp_path):
+        raw = build_stream(50).getvalue()
+        cut = 32 + 24 * 13
+        p = tmp_path / "two.ibu.gz"
+        p.write_bytes(gzip.compress(raw[:cut]) + gzip.compress(raw[cut:]))
+        r = Reader.from_path(str(p))
+        assert len(list(r)) == 50
+
+    def test_torn_gzip_raises_compression_error(self, tmp_path):
+        from ibu_tpu.errors import CompressionError
+
+        raw = build_stream(5000).getvalue()
+        blob = gzip.compress(raw)
+        p = tmp_path / "torn.ibu.gz"
+        p.write_bytes(blob[: len(blob) // 2])
+        r = Reader.from_path(str(p))
+        with pytest.raises(CompressionError):
+            for _ in r.batches():
+                pass
+
+    def test_torn_zstd_raises_compression_error(self, tmp_path):
+        zstd = pytest.importorskip("zstandard")
+        from ibu_tpu.errors import CompressionError
+
+        raw = build_stream(5000).getvalue()
+        blob = zstd.ZstdCompressor().compress(raw)
+        p = tmp_path / "torn.ibu.zst"
+        p.write_bytes(blob[: len(blob) // 2])
+        with pytest.raises(CompressionError):
+            r = Reader.from_path(str(p))  # may raise at header or stream
+            for _ in r.batches():
+                pass
+
     def test_plain_file(self, tmp_path):
         raw = build_stream(100).getvalue()
         p = tmp_path / "x.ibu"

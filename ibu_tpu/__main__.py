@@ -256,9 +256,14 @@ def cmd_filter(args) -> int:
 
 
 def cmd_count(args) -> int:
+    if args.engine == "device":
+        from ibu_tpu.utils import apply_platform_env
+
+        apply_platform_env()
     from ibu_tpu.pipelines import count_matrix
 
-    stats = count_matrix(args.input, args.prefix, dedup=not args.raw_reads)
+    stats = count_matrix(args.input, args.prefix, dedup=not args.raw_reads,
+                         engine=args.engine)
     what = "reads" if args.raw_reads else "molecules"
     print(
         f"count {args.input} -> {args.prefix}.mtx: "
@@ -511,6 +516,9 @@ def main(argv=None) -> int:
     p.add_argument("--raw-reads", action="store_true",
                    help="count raw reads per (barcode, index) instead of "
                         "UMI-deduplicated molecules")
+    p.add_argument("--engine", choices=("host", "device"), default="host",
+                   help="device: per-batch 6-key sort + segment count on "
+                        "the jax device (sorted inputs, dedup mode only)")
     p.set_defaults(fn=cmd_count)
 
     p = sub.add_parser(

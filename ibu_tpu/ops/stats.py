@@ -340,3 +340,90 @@ def molecule_counts_np(records: np.ndarray) -> dict[int, int]:
     )
     vals, counts = np.unique(pairs[:, 0], return_counts=True)
     return {int(v): int(c) for v, c in zip(vals, counts)}
+
+
+# ---------------------------------------------------------------------------
+# count matrix: distinct-triple counts per (barcode, index) pair
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("max_pairs",))
+def pair_molecule_counts(
+    soa: jax.Array, max_pairs: int
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Distinct ``(barcode, umi, index)`` triples per ``(barcode, index)``
+    pair — the device kernel under :func:`ibu_tpu.pipelines.count_matrix`.
+
+    One 6-key sort orders records by (barcode, index, umi); pair segments
+    come from the first four sorted keys, triple-first flags from all six,
+    and a segment-sum of triple-first flags gives each pair's molecule
+    count. Static-shape contract like :func:`barcode_histogram`: returns
+    ``(bc_lo, bc_hi, idx_lo, idx_hi, counts)`` stacked as
+    ``(pair_keys (4, max_pairs), counts (max_pairs,), num_pairs scalar)``
+    — concretely ``(pair_rows, counts, num_pairs)`` where ``pair_rows`` is
+    ``(4, max_pairs) uint32`` ordered [bc_lo, bc_hi, idx_lo, idx_hi];
+    ``num_pairs > max_pairs`` means overflow (entries dropped) and callers
+    MUST check.
+    """
+    n = soa.shape[1]
+    # sort keys most-significant first: bc (hi, lo), idx (hi, lo), umi
+    # (hi, lo) — this orders by the (barcode, index, umi) triple
+    key_rows = [soa[1], soa[0], soa[5], soa[4], soa[3], soa[2]]
+    npad = 1 << max(0, (n - 1).bit_length())
+    w = jnp.ones((n,), jnp.uint32)
+    if npad != n:
+        padk = jnp.full((npad - n,), 0xFFFFFFFF, jnp.uint32)
+        key_rows = [jnp.concatenate([k, padk]) for k in key_rows]
+        w = jnp.concatenate([w, jnp.zeros((npad - n,), jnp.uint32)])
+    *srt, s_w = jax.lax.sort((*key_rows, w), num_keys=6)
+
+    def changed(rows):
+        c = jnp.zeros((npad,), jnp.bool_).at[0].set(True)
+        for r in rows:
+            c = c | jnp.concatenate(
+                [jnp.ones((1,), jnp.bool_), r[1:] != r[:-1]]
+            )
+        return c
+
+    pair_first = changed(srt[:4])
+    triple_first = changed(srt)  # pair change implies triple change
+    seg_ids = jnp.cumsum(pair_first.astype(jnp.int32)) - 1
+    counts = jax.ops.segment_sum(
+        triple_first.astype(jnp.uint32) * s_w, seg_ids,
+        num_segments=max_pairs,
+    )
+    zeros = jnp.zeros((max_pairs,), jnp.uint32)
+    pair_rows = jnp.stack(
+        [
+            zeros.at[seg_ids].set(srt[1]),  # bc_lo
+            zeros.at[seg_ids].set(srt[0]),  # bc_hi
+            zeros.at[seg_ids].set(srt[3]),  # idx_lo
+            zeros.at[seg_ids].set(srt[2]),  # idx_hi
+        ]
+    )
+    if npad != n:
+        has_real_max = jnp.any(
+            (s_w > 0)
+            & jnp.all(jnp.stack([r == jnp.uint32(0xFFFFFFFF) for r in srt[:4]]),
+                      axis=0)
+        )
+        sentinel_seg = (~has_real_max).astype(jnp.int32)
+    else:
+        sentinel_seg = jnp.int32(0)
+    num_pairs = jnp.where(n > 0, seg_ids[-1] + 1 - sentinel_seg, jnp.int32(0))
+    return pair_rows, counts, num_pairs
+
+
+def pair_molecule_counts_np(records: np.ndarray) -> dict:
+    """Host oracle: (barcode, index) → distinct (barcode, umi, index)
+    triples."""
+    triples = np.unique(
+        np.stack(
+            [records["barcode"], records["umi"], records["index"]], axis=1
+        ),
+        axis=0,
+    )
+    pairs, counts = np.unique(triples[:, [0, 2]], axis=0, return_counts=True)
+    return {
+        (int(b), int(i)): int(c) for (b, i), c in zip(pairs.tolist(), counts)
+    }

@@ -693,11 +693,101 @@ def filter_file(
 # ---------------------------------------------------------------------------
 
 
+def _device_pair_counts(
+    reader: MmapReader,
+    batch_records: int,
+    max_pairs: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Device engine for :func:`count_matrix` (dedup semantics): per-batch
+    6-key sort + segment count on the jax device
+    (:func:`ibu_tpu.ops.stats.pair_molecule_counts`), host-side pair
+    aggregation.
+
+    The input must be in reference sort order: equal records — PCR
+    duplicates — are then adjacent, so the only cross-batch double count
+    is a duplicate triple straddling a batch boundary, fixed by comparing
+    the boundary records. Order is verified during the pass (the
+    :func:`dedup_file` convention).
+
+    Returns ``(pairs, counts)`` — a ``(P, 2) uint64`` array of distinct
+    (barcode, index) pairs and their int64 counts.
+    """
+    import jax.numpy as jnp
+
+    from ibu_tpu.ops.stats import pair_molecule_counts
+
+    n = reader.len()
+    acc_pairs: list[np.ndarray] = []
+    acc_counts: list[np.ndarray] = []
+    prev: tuple[int, int, int] | None = None
+    prev_rec = None
+    for start in range(0, n, batch_records):
+        batch = np.asarray(reader.slice(start, min(start + batch_records, n)))
+        bc, umi, idx = batch["barcode"], batch["umi"], batch["index"]
+        if not _lex_nondecreasing(bc, umi, idx, prev):
+            raise ValueError(
+                f"count_matrix(engine='device') needs a sorted input, but "
+                f"records are out of order near record {start}; sort "
+                "first, or use engine='host'"
+            )
+        prev = (int(bc[-1]), int(umi[-1]), int(idx[-1]))
+        pair_rows, counts, num_pairs = pair_molecule_counts(
+            jnp.asarray(soa_from_records(batch)), max_pairs
+        )
+        pair_rows, counts = np.asarray(pair_rows), np.asarray(counts)
+        if int(num_pairs) > max_pairs:
+            raise ValueError(
+                f"a batch produced {int(num_pairs)} distinct (barcode, "
+                f"index) pairs, over the max_pairs={max_pairs} device "
+                "capacity; raise it or shrink batch_records"
+            )
+        valid = counts != 0
+        pairs64 = np.empty((int(valid.sum()), 2), np.uint64)
+        pairs64[:, 0] = pair_rows[0][valid].astype(np.uint64) | (
+            pair_rows[1][valid].astype(np.uint64) << 32
+        )
+        pairs64[:, 1] = pair_rows[2][valid].astype(np.uint64) | (
+            pair_rows[3][valid].astype(np.uint64) << 32
+        )
+        # boundary fix: a duplicate triple straddling the batch edge was
+        # counted as "first" in both batches
+        if prev_rec is not None and len(batch) and batch[0] == prev_rec:
+            acc_pairs.append(
+                np.array([[batch[0]["barcode"], batch[0]["index"]]],
+                         np.uint64)
+            )
+            acc_counts.append(np.array([-1], np.int64))
+        acc_pairs.append(pairs64)
+        acc_counts.append(counts[valid].astype(np.int64))
+        prev_rec = batch[-1] if len(batch) else prev_rec
+
+    pairs = (
+        np.concatenate(acc_pairs) if acc_pairs else np.empty((0, 2), np.uint64)
+    )
+    counts = (
+        np.concatenate(acc_counts) if acc_counts else np.empty(0, np.int64)
+    )
+    # aggregate duplicate pairs across batches and apply the -1 boundary
+    # corrections; recover numeric pair values from first occurrences
+    # (np.unique on the raw byte view sorts by LE bytes, not numerically)
+    view = np.ascontiguousarray(pairs).view("V16").ravel()
+    uniq, inv = np.unique(view, return_inverse=True)
+    summed = np.zeros(len(uniq), np.int64)
+    np.add.at(summed, inv, counts)
+    first_idx = np.full(len(uniq), len(inv), np.int64)
+    np.minimum.at(first_idx, inv, np.arange(len(inv)))
+    out_pairs = pairs[first_idx]
+    keep = summed != 0
+    return out_pairs[keep], summed[keep]
+
+
 def count_matrix(
     in_path: str,
     out_prefix: str,
     batch_records: int = 4 * 1024 * 1024,
     dedup: bool = True,
+    engine: str = "host",
+    max_pairs: int = 1 << 20,
 ) -> dict:
     """Build the barcode × index molecule-count matrix — the terminal
     artifact of the BUS-style workflow this format feeds (bustools
@@ -716,6 +806,12 @@ def count_matrix(
     reduce as long as their molecule table fits RAM (dedup_file's
     out-of-core pass first, then ``dedup=False`` here, covers the rest).
 
+    ``engine="device"`` (sorted inputs, dedup semantics only) replaces the
+    per-batch host unique with one 6-key device sort + segment count
+    (:func:`ibu_tpu.ops.stats.pair_molecule_counts`, capacity
+    ``max_pairs`` distinct pairs per batch) and keeps only the sparse pair
+    table host-side — the heavy lexsort moves to the accelerator.
+
     Output (MatrixMarket sparse trio, 1-based coordinates):
 
     * ``{out_prefix}.mtx``       — ``rows = barcodes``, ``cols = indices``
@@ -724,65 +820,85 @@ def count_matrix(
 
     Returns ``{"barcodes", "indices", "entries", "molecules", "records"}``.
     """
+    if engine not in ("host", "device"):
+        raise ValueError(f"engine must be 'host' or 'device', got {engine!r}")
+    if engine == "device" and not dedup:
+        raise ValueError(
+            "engine='device' implements dedup semantics only; raw-read "
+            "counting uses engine='host'"
+        )
     reader = MmapReader(in_path)
     header = reader.header()
     n = reader.len()
 
-    fields = ["barcode", "index"] + (["umi"] if dedup else [])
-    key_dtype = [(f, "<u8") for f in fields]
-    parts: list[np.ndarray] = []
-    part_counts: list[np.ndarray] = []  # dedup=False: read multiplicities
-    for start in range(0, n, batch_records):
-        batch = np.asarray(reader.slice(start, min(start + batch_records, n)))
-        keys = np.empty(len(batch), dtype=key_dtype)
-        for f in fields:
-            keys[f] = batch[f]
-        if dedup:
-            # triple uniquing is idempotent, so per-batch + final global
-            # unique collapses cross-batch duplicates exactly
-            parts.append(np.unique(keys))
+    if engine == "device":
+        dev_pairs, counts = _device_pair_counts(
+            reader, batch_records, max_pairs
+        )
+        pair_bc, pair_idx = dev_pairs[:, 0], dev_pairs[:, 1]
+    else:
+        fields = ["barcode", "index"] + (["umi"] if dedup else [])
+        key_dtype = [(f, "<u8") for f in fields]
+        parts: list[np.ndarray] = []
+        part_counts: list[np.ndarray] = []  # dedup=False: multiplicities
+        for start in range(0, n, batch_records):
+            batch = np.asarray(
+                reader.slice(start, min(start + batch_records, n))
+            )
+            keys = np.empty(len(batch), dtype=key_dtype)
+            for f in fields:
+                keys[f] = batch[f]
+            if dedup:
+                # triple uniquing is idempotent, so per-batch + final
+                # global unique collapses cross-batch duplicates exactly
+                parts.append(np.unique(keys))
+            else:
+                u, c = np.unique(keys, return_counts=True)
+                parts.append(u)
+                part_counts.append(c)
+
+        if parts:
+            merged = np.concatenate(parts)
         else:
-            u, c = np.unique(keys, return_counts=True)
-            parts.append(u)
-            part_counts.append(c)
+            merged = np.empty(0, dtype=key_dtype)
 
-    if parts:
-        merged = np.concatenate(parts)
-    else:
-        merged = np.empty(0, dtype=key_dtype)
+        pair_dtype = [("barcode", "<u8"), ("index", "<u8")]
+        pairs = np.empty(len(merged), dtype=pair_dtype)
+        pairs["barcode"], pairs["index"] = merged["barcode"], merged["index"]
+        if dedup:
+            triples = np.unique(merged)
+            pairs = np.empty(len(triples), dtype=pair_dtype)
+            pairs["barcode"] = triples["barcode"]
+            pairs["index"] = triples["index"]
+            uniq_pairs, counts = np.unique(pairs, return_counts=True)
+        else:
+            # sum per-batch read counts over the global pair set
+            weights = (
+                np.concatenate(part_counts)
+                if part_counts
+                else np.empty(0, np.int64)
+            )
+            uniq_pairs, inv = np.unique(pairs, return_inverse=True)
+            counts = np.zeros(len(uniq_pairs), dtype=np.int64)
+            np.add.at(counts, inv, weights)
+        pair_bc, pair_idx = uniq_pairs["barcode"], uniq_pairs["index"]
 
-    pairs = np.empty(len(merged), dtype=[("barcode", "<u8"), ("index", "<u8")])
-    pairs["barcode"], pairs["index"] = merged["barcode"], merged["index"]
-    if dedup:
-        triples = np.unique(merged)
-        pairs = np.empty(
-            len(triples), dtype=[("barcode", "<u8"), ("index", "<u8")]
-        )
-        pairs["barcode"], pairs["index"] = triples["barcode"], triples["index"]
-        uniq_pairs, counts = np.unique(pairs, return_counts=True)
-    else:
-        # sum per-batch read counts over the global pair set
-        weights = (
-            np.concatenate(part_counts)
-            if part_counts
-            else np.empty(0, np.int64)
-        )
-        uniq_pairs, inv = np.unique(pairs, return_inverse=True)
-        counts = np.zeros(len(uniq_pairs), dtype=np.int64)
-        np.add.at(counts, inv, weights)
-
-    barcodes = np.unique(uniq_pairs["barcode"])
-    indices = np.unique(uniq_pairs["index"])
-    row = np.searchsorted(barcodes, uniq_pairs["barcode"])
-    col = np.searchsorted(indices, uniq_pairs["index"])
+    barcodes = np.unique(pair_bc)
+    indices = np.unique(pair_idx)
+    row = np.searchsorted(barcodes, pair_bc)
+    col = np.searchsorted(indices, pair_idx)
+    # deterministic entry order (row-major) regardless of engine
+    order = np.lexsort((col, row))
+    row, col = row[order], col[order]
+    counts = np.asarray(counts)[order]
 
     with open(f"{out_prefix}.mtx", "w") as f:
         f.write("%%MatrixMarket matrix coordinate integer general\n")
         f.write("%rows=barcodes cols=record-indices "
                 f"source={in_path} dedup={dedup}\n")
-        f.write(f"{len(barcodes)} {len(indices)} {len(uniq_pairs)}\n")
-        if len(uniq_pairs):
-            block = np.empty((len(uniq_pairs), 3), dtype=np.int64)
+        f.write(f"{len(barcodes)} {len(indices)} {len(pair_bc)}\n")
+        if len(pair_bc):
+            block = np.empty((len(pair_bc), 3), dtype=np.int64)
             block[:, 0] = row + 1
             block[:, 1] = col + 1
             block[:, 2] = counts
@@ -795,7 +911,7 @@ def count_matrix(
     return {
         "barcodes": int(len(barcodes)),
         "indices": int(len(indices)),
-        "entries": int(len(uniq_pairs)),
+        "entries": int(len(pair_bc)),
         "molecules": int(counts.sum()),
         "records": n,
     }

@@ -127,6 +127,64 @@ class TestCountMatrix:
         assert a == b
         assert _read_mtx(str(tmp_path / "a")) == _read_mtx(str(tmp_path / "b"))
 
+    def test_device_engine_matches_host_on_sorted_input(self, tmp_path):
+        from ibu_tpu.pipelines import sort_file_device
+
+        rng = np.random.default_rng(11)
+        n = 6000
+        p, _ = _write(
+            tmp_path / "d.ibu",
+            bc=rng.integers(0, 30, n),
+            umi=rng.integers(0, 7, n),
+            idx=rng.integers(0, 15, n),
+        )
+        srt = str(tmp_path / "d.sorted.ibu")
+        sort_file_device(p, srt)
+        a = count_matrix(srt, str(tmp_path / "h"), batch_records=700)
+        b = count_matrix(srt, str(tmp_path / "d"), batch_records=700,
+                         engine="device", max_pairs=1024)
+        assert a == b
+        assert _read_mtx(str(tmp_path / "h")) == _read_mtx(str(tmp_path / "d"))
+
+    def test_device_engine_boundary_duplicate_triple(self, tmp_path):
+        # a run of identical records straddling the batch edge must count
+        # as ONE molecule (the boundary -1 correction)
+        p, _ = _write(
+            tmp_path / "b.ibu",
+            bc=[1, 1, 1, 1, 1, 1],
+            umi=[2, 2, 2, 2, 2, 2],
+            idx=[3, 3, 3, 3, 3, 3],
+        )
+        for br in (2, 3, 6):
+            out = str(tmp_path / f"b{br}")
+            stats = count_matrix(p, out, batch_records=br, engine="device",
+                                 max_pairs=64)
+            assert stats["entries"] == 1 and stats["molecules"] == 1, br
+
+    def test_device_engine_u64_max_fields(self, tmp_path):
+        m = np.uint64(0xFFFFFFFFFFFFFFFF)
+        p, _ = _write(
+            tmp_path / "m.ibu",
+            bc=[5, int(m), int(m)], umi=[1, int(m), int(m)],
+            idx=[2, int(m), int(m)], bc_len=32, umi_len=32,
+        )
+        stats = count_matrix(p, str(tmp_path / "m"), engine="device",
+                             max_pairs=64)
+        assert stats["entries"] == 2 and stats["molecules"] == 2
+
+    def test_device_engine_rejects_unsorted(self, tmp_path):
+        p, _ = _write(tmp_path / "u.ibu", bc=[5, 1], umi=[0, 0], idx=[0, 0])
+        with pytest.raises(ValueError, match="sorted input"):
+            count_matrix(p, str(tmp_path / "u"), engine="device")
+
+    def test_device_engine_rejects_raw_mode_and_overflow(self, tmp_path):
+        p, _ = _write(tmp_path / "x.ibu",
+                      bc=list(range(20)), umi=[0] * 20, idx=[0] * 20)
+        with pytest.raises(ValueError, match="dedup semantics"):
+            count_matrix(p, str(tmp_path / "x"), engine="device", dedup=False)
+        with pytest.raises(ValueError, match="max_pairs"):
+            count_matrix(p, str(tmp_path / "x"), engine="device", max_pairs=8)
+
     def test_empty_file(self, tmp_path):
         p, _ = _write(tmp_path / "e.ibu", bc=[], umi=[], idx=[])
         stats = count_matrix(p, str(tmp_path / "e"))

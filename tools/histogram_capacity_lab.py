@@ -37,6 +37,9 @@ def main() -> None:
     ap.add_argument("--barcodes", type=int, default=4096)
     ap.add_argument("--k", nargs=2, type=int, default=(8, 32))
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--capacity", type=int, default=1 << 16)
+    ap.add_argument("--max-uniques", type=int, default=1 << 14)
+    ap.add_argument("--merge-every", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -62,7 +65,9 @@ def main() -> None:
 
     def fresh():
         return DeviceHistogram(
-            mesh=mesh, capacity=1 << 16, max_uniques_per_shard=1 << 14
+            mesh=mesh, capacity=args.capacity,
+            max_uniques_per_shard=args.max_uniques,
+            merge_every=args.merge_every,
         )
 
     # compile + warm both stages
@@ -103,6 +108,9 @@ def main() -> None:
         "batch_records": b,
         "MB": round(nbytes / 1e6, 1),
         "barcodes": args.barcodes,
+        "capacity": args.capacity,
+        "max_uniques": args.max_uniques,
+        "merge_every": args.merge_every,
         "best_s": best,
         "per_batch_ms": round(per_iter * 1e3, 3),
         "GB_s": round(gbps, 2),

@@ -383,12 +383,9 @@ def _sparse_group_sum(
     return unique_lo, unique_hi, counts, n_distinct
 
 
-def _masked_histogram(raw, n_valid, max_uniques: int):
-    """Per-shard histogram with padding masked via sort-carried weights.
-
-    Also returns the shard's true unique count so callers can detect
-    capacity overflow (segments beyond ``max_uniques`` would otherwise be
-    silently dropped by ``segment_sum``)."""
+def _masked_histogram_scatter(raw, n_valid, max_uniques: int):
+    """Scatter-based per-shard histogram (the r1/r2 production form; kept
+    for lab comparisons — see :func:`_masked_histogram` for why it lost)."""
     soa = raw.T
     bc_lo, bc_hi = soa[0], soa[1]
     n = bc_lo.shape[0]
@@ -401,6 +398,69 @@ def _masked_histogram(raw, n_valid, max_uniques: int):
         w = jnp.concatenate([w, jnp.zeros((npad - n,), jnp.uint32)])
     unique_lo, unique_hi, counts, n_distinct = _sparse_group_sum(
         bc_lo, bc_hi, w, max_uniques
+    )
+    return unique_lo, unique_hi, counts, n_distinct[None]
+
+
+def _masked_histogram(raw, n_valid, max_uniques: int):
+    """Per-shard histogram, scatter-free.
+
+    The classic sort→segment-ids→``segment_sum``+``.at[].set`` formulation
+    runs THREE record-sized scatters per batch, and TPU scatters are slow:
+    measured 21 ms/batch at 1M records where the 2-key sort alone costs
+    ~6 ms (tools/histogram_capacity_lab.py, round 3). This formulation
+    replaces every scatter with table-sized work:
+
+    * masked entries get the all-max key BEFORE the stable sort, so valid
+      records occupy exactly positions ``[0, n_valid)`` of the sorted
+      order (equal-key stability keeps valid — input-prefix — entries
+      first);
+    * per capacity slot ``j``, the segment's bounds come from two
+      ``searchsorted`` binary searches over the monotonic segment ids
+      (``max_uniques × log n`` gathers instead of ``n`` scatters), clipped
+      to ``n_valid`` so invalid tails never count;
+    * unique keys are two ``max_uniques``-sized gathers at the segment
+      starts.
+
+    Contract is identical to the scatter form: ``(unique_lo, unique_hi,
+    counts, n_distinct[1])`` with empty slots zeroed; ``n_distinct``
+    counting true distinct valid barcodes (callers must treat
+    ``n_distinct > max_uniques`` as overflow).
+    """
+    soa = raw.T
+    bc_lo, bc_hi = soa[0], soa[1]
+    n = bc_lo.shape[0]
+    maxk = jnp.uint32(0xFFFFFFFF)
+    valid = jnp.arange(n, dtype=jnp.int32) < n_valid
+    key_lo = jnp.where(valid, bc_lo, maxk)
+    key_hi = jnp.where(valid, bc_hi, maxk)
+    npad = 1 << max(0, (n - 1).bit_length())  # pow2 sort shapes (see stats)
+    if npad != n:
+        padk = jnp.full((npad - n,), maxk, jnp.uint32)
+        key_lo = jnp.concatenate([key_lo, padk])
+        key_hi = jnp.concatenate([key_hi, padk])
+    s_hi, s_lo = jax.lax.sort((key_hi, key_lo), num_keys=2, is_stable=True)
+    first = jnp.concatenate(
+        [
+            jnp.ones((1,), dtype=jnp.bool_),
+            (s_hi[1:] != s_hi[:-1]) | (s_lo[1:] != s_lo[:-1]),
+        ]
+    )
+    seg_ids = jnp.cumsum(first.astype(jnp.int32)) - 1  # monotonic
+    total_valid = n_valid.astype(jnp.int32)
+    slots = jnp.arange(max_uniques, dtype=jnp.int32)
+    starts = jnp.searchsorted(seg_ids, slots, side="left")
+    ends = jnp.searchsorted(seg_ids, slots, side="right")
+    s = jnp.minimum(starts.astype(jnp.int32), total_valid)
+    e = jnp.minimum(ends.astype(jnp.int32), total_valid)
+    counts = (e - s).astype(jnp.uint32)
+    at = jnp.minimum(starts, npad - 1)
+    unique_lo = jnp.where(counts > 0, s_lo[at], 0)
+    unique_hi = jnp.where(counts > 0, s_hi[at], 0)
+    n_distinct = jnp.where(
+        total_valid > 0,
+        seg_ids[jnp.maximum(total_valid - 1, 0)] + 1,
+        jnp.int32(0),
     )
     return unique_lo, unique_hi, counts, n_distinct[None]
 
@@ -646,7 +706,12 @@ class DeviceHistogram:
                 return np.asarray(x)
             return np.asarray(x.addressable_data(0))  # replicated
 
-        st = jax.tree.map(to_host, self._state)
+        # transfer only the table keys — the (just-zeroed) staging buffers
+        # are merge_every × S·max_uniques u32 each and are never read here
+        st = {
+            k: to_host(self._state[k])
+            for k in ("lo", "hi", "cnt", "n", "shard_seen")
+        }
         if int(st["shard_seen"]) > self.max_uniques_per_shard:
             raise ValueError(
                 f"a shard saw {int(st['shard_seen'])} unique barcodes, over "

@@ -40,11 +40,19 @@ def main() -> None:
     ap.add_argument("--capacity", type=int, default=1 << 16)
     ap.add_argument("--max-uniques", type=int, default=1 << 14)
     ap.add_argument("--merge-every", type=int, default=8)
+    ap.add_argument("--shard-impl", choices=("searchsorted", "scatter"),
+                    default="searchsorted",
+                    help="A/B the per-shard histogram formulation")
     args = ap.parse_args()
 
     import jax
 
+    from ibu_tpu.parallel import device as _dev
     from ibu_tpu.parallel.device import DeviceHistogram, make_mesh, shard_batch
+
+    if args.shard_impl == "scatter":
+        # monkeypatch before the first _histogram_fns build (process-local)
+        _dev._masked_histogram = _dev._masked_histogram_scatter
 
     b = args.batch_records
     nbytes = b * 24

@@ -136,7 +136,6 @@ def main():
     # which can only LOSE molecules, never invent them; with a sparse
     # allowlist (2^30 space) collisions are negligible and every surviving
     # entry must be a subset of the truth with matching structure.
-    got_pairs = 0
     mm = MmapReader(mol)
     recs = np.asarray(mm.records)
     pairs = np.unique(np.stack([recs["barcode"], recs["index"]], axis=1),

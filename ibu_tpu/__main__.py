@@ -241,8 +241,9 @@ def _parse_barcode_list(path: str, bc_len: int) -> "np.ndarray":
 
 def cmd_filter(args) -> int:
     from ibu_tpu.io.mmap import MmapReader
-    from ibu_tpu.pipelines import filter_file
+    from ibu_tpu.pipelines import _require_plain, filter_file
 
+    _require_plain(args.input, "filter")  # before the bc_len mmap below
     bc_len = MmapReader(args.input).header().bc_len
     allow = _parse_barcode_list(args.barcodes, bc_len)
     stats = filter_file(args.input, args.output, allow, invert=args.invert)
@@ -278,8 +279,9 @@ def cmd_correct(args) -> int:
 
     apply_platform_env()
     from ibu_tpu.io.mmap import MmapReader
-    from ibu_tpu.pipelines import correct_file
+    from ibu_tpu.pipelines import _require_plain, correct_file
 
+    _require_plain(args.input, "correct")  # before the bc_len mmap below
     bc_len = MmapReader(args.input).header().bc_len
     allow = _parse_barcode_list(args.barcodes, bc_len)
     stats = correct_file(args.input, args.output, allow,

@@ -180,12 +180,15 @@ class Reader:
                     )
                 chunks.append(chunk)
                 got += len(chunk)
-        except OSError as e:
-            raise IbuIoError(e) from e
+        # DECOMPRESSION_ERRORS first: gzip.BadGzipFile (bad CRC/member
+        # header) subclasses OSError, and must map to the Niffler variant,
+        # not to the generic I/O one
         except DECOMPRESSION_ERRORS as e:
             # torn/corrupt gzip or zstd stream → the reference's Niffler
             # error variant, so consumers see an IbuError (error.rs:69-70)
             raise CompressionError(e) from e
+        except OSError as e:
+            raise IbuIoError(e) from e
         return b"".join(chunks)
 
     def read_batch(self) -> bool:
@@ -203,15 +206,17 @@ class Reader:
                     break
                 view[read : read + len(chunk)] = chunk
                 read += len(chunk)
+        # DECOMPRESSION_ERRORS first: BadGzipFile subclasses OSError
+        except DECOMPRESSION_ERRORS as e:
+            # gzip raises EOFError/zlib.error/BadGzipFile and zstd
+            # ZstdError when the compressed stream itself is torn or
+            # corrupt — distinct from a mid-record tear in DECOMPRESSED
+            # bytes (TruncatedRecord below). Map to the reference's
+            # Niffler variant (error.rs:69-70) so whole-file tools
+            # (check_file, concat) can catch IbuError.
+            raise CompressionError(e) from e
         except OSError as e:
             raise IbuIoError(e) from e
-        except DECOMPRESSION_ERRORS as e:
-            # gzip raises EOFError/zlib.error and zstd ZstdError when the
-            # compressed stream itself is torn or corrupt — distinct from a
-            # mid-record tear in DECOMPRESSED bytes (TruncatedRecord below).
-            # Map to the reference's Niffler variant (error.rs:69-70) so
-            # whole-file tools (check_file, concat) can catch IbuError.
-            raise CompressionError(e) from e
         if read % RECORD_SIZE != 0:
             non_rem = read - read % RECORD_SIZE
             raise TruncatedRecord(pos=self._bytes_read + non_rem)

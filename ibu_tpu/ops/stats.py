@@ -375,7 +375,10 @@ def pair_molecule_counts(
         padk = jnp.full((npad - n,), 0xFFFFFFFF, jnp.uint32)
         key_rows = [jnp.concatenate([k, padk]) for k in key_rows]
         w = jnp.concatenate([w, jnp.zeros((npad - n,), jnp.uint32)])
-    *srt, s_w = jax.lax.sort((*key_rows, w), num_keys=6)
+    # is_stable: a real record whose six key words are all 0xFFFFFFFF ties
+    # with the padding sentinels; stability keeps the real (input-prefix)
+    # entry first so its weight lands on the triple_first position
+    *srt, s_w = jax.lax.sort((*key_rows, w), num_keys=6, is_stable=True)
 
     def changed(rows):
         c = jnp.zeros((npad,), jnp.bool_).at[0].set(True)

@@ -573,6 +573,7 @@ def dedup_file(
     import os
     import tempfile
 
+    _require_plain(in_path, "dedup_file")
     reader = MmapReader(in_path)
     header = reader.header()
     sorted_in = header.sorted() if assume_sorted is None else assume_sorted
@@ -661,6 +662,7 @@ def filter_file(
     sorted file yields a sorted file. Returns ``{"records": N, "kept": K,
     "allowlist": A}``.
     """
+    _require_plain(in_path, "filter_file")
     allow = np.unique(np.asarray(list(barcodes), dtype=np.uint64))
     reader = MmapReader(in_path)
     header = reader.header()
@@ -827,6 +829,7 @@ def count_matrix(
             "engine='device' implements dedup semantics only; raw-read "
             "counting uses engine='host'"
         )
+    _require_plain(in_path, "count_matrix")
     reader = MmapReader(in_path)
     header = reader.header()
     n = reader.len()
@@ -863,8 +866,6 @@ def count_matrix(
             merged = np.empty(0, dtype=key_dtype)
 
         pair_dtype = [("barcode", "<u8"), ("index", "<u8")]
-        pairs = np.empty(len(merged), dtype=pair_dtype)
-        pairs["barcode"], pairs["index"] = merged["barcode"], merged["index"]
         if dedup:
             triples = np.unique(merged)
             pairs = np.empty(len(triples), dtype=pair_dtype)
@@ -872,6 +873,9 @@ def count_matrix(
             pairs["index"] = triples["index"]
             uniq_pairs, counts = np.unique(pairs, return_counts=True)
         else:
+            pairs = np.empty(len(merged), dtype=pair_dtype)
+            pairs["barcode"] = merged["barcode"]
+            pairs["index"] = merged["index"]
             # sum per-batch read counts over the global pair set
             weights = (
                 np.concatenate(part_counts)
@@ -951,6 +955,7 @@ def correct_file(
     allow = np.unique(np.asarray(list(barcodes), dtype=np.uint64))
     from ibu_tpu.ops.correct import CORRECTED, DROP, EXACT, correct_batch
 
+    _require_plain(in_path, "correct_file")
     reader = MmapReader(in_path)
     header = reader.header()
     out_header = Header.new(header.bc_len, header.umi_len)
@@ -1013,6 +1018,22 @@ def correct_file(
 
 
 import contextlib as _contextlib
+
+
+def _require_plain(path: str, tool: str) -> None:
+    """Raise a clear error when a tool that mmaps its input gets a
+    gzip/zstd file — otherwise the compression magic parses as an IBU
+    header and dies with a misleading ``InvalidMagicNumber``."""
+    from ibu_tpu.io.compression import sniff_compression
+
+    with open(path, "rb") as f:
+        kind = sniff_compression(f.read(4))
+    if kind is not None:
+        raise ValueError(
+            f"{path} is {kind}-compressed; {tool} needs random access into "
+            "the record region — decompress it first (e.g. `python -m "
+            f"ibu_tpu concat plain.ibu {path}`)"
+        )
 
 
 @_contextlib.contextmanager

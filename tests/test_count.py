@@ -194,6 +194,24 @@ class TestCountMatrix:
         }
         assert _read_mtx(str(tmp_path / "e")) == {}
 
+    def test_compressed_input_clear_error(self, tmp_path):
+        import gzip as _gz
+
+        recs = make_records(
+            np.arange(5, dtype=np.uint64), np.zeros(5, np.uint64),
+            np.zeros(5, np.uint64),
+        )
+        p = str(tmp_path / "z.ibu.gz")
+        h = Header.new(8, 6)
+        with Writer.from_path(p, h, compression="auto") as w:
+            w.write_batch(recs)
+        with pytest.raises(ValueError, match="gzip-compressed"):
+            count_matrix(p, str(tmp_path / "z"))
+        from ibu_tpu.pipelines import correct_file
+
+        with pytest.raises(ValueError, match="gzip-compressed"):
+            correct_file(p, str(tmp_path / "z.ibu"), [1])
+
     def test_cli(self, tmp_path):
         p, _ = _write(tmp_path / "c.ibu", bc=[3, 3], umi=[1, 1], idx=[7, 7])
         r = subprocess.run(

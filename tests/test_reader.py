@@ -165,6 +165,46 @@ class TestCompression:
             for _ in r.batches():
                 pass
 
+    def test_corrupt_gzip_crc_is_compression_error(self, tmp_path):
+        # a bit flip in the deflate body/CRC raises gzip.BadGzipFile — an
+        # OSError subclass that must still map to the Niffler variant,
+        # not IbuIoError
+        from ibu_tpu.errors import CompressionError
+
+        raw = build_stream(5000).getvalue()
+        blob = bytearray(gzip.compress(raw))
+        blob[-5] ^= 0xFF  # corrupt the CRC/ISIZE trailer
+        p = tmp_path / "crc.ibu.gz"
+        p.write_bytes(bytes(blob))
+        r = Reader.from_path(str(p))
+        with pytest.raises(CompressionError):
+            for _ in r.batches():
+                pass
+
+    def test_zero_bomb_zstd_streams_bounded(self, tmp_path):
+        # an all-zero record region compresses ~25000:1; reading it back
+        # must stream in bounded chunks (no whole-expansion transient) and
+        # still roundtrip exactly
+        zstd = pytest.importorskip("zstandard")
+        import numpy as np
+
+        from ibu_tpu.constructs.record import make_records
+        from ibu_tpu.io.writer import Writer
+
+        n = 2_000_000  # 48 MB of zero records
+        z = np.zeros(n, dtype=np.uint64)
+        p = tmp_path / "zero.ibu.zst"
+        with Writer.from_path(str(p), Header.new(8, 6),
+                              compression="zstd") as w:
+            w.write_batch(make_records(z, z, z))
+        assert p.stat().st_size < 100_000  # really a zero bomb
+        total = 0
+        r = Reader.from_path(str(p))
+        for batch in r.batches():
+            total += len(batch)
+            assert not batch["barcode"].any()
+        assert total == n
+
     def test_torn_zstd_raises_compression_error(self, tmp_path):
         zstd = pytest.importorskip("zstandard")
         from ibu_tpu.errors import CompressionError

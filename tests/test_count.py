@@ -127,6 +127,48 @@ class TestCountMatrix:
         assert a == b
         assert _read_mtx(str(tmp_path / "a")) == _read_mtx(str(tmp_path / "b"))
 
+    def test_sorted_fast_path_matches_unsorted(self, tmp_path):
+        """The O(n) adjacent-diff path (sorted flag set) must produce the
+        byte-identical mtx trio the generic path produces — including
+        cross-batch boundary duplicates (batch_records chosen so a
+        duplicate run straddles a boundary)."""
+        rng = np.random.default_rng(21)
+        n = 4000
+        bc = rng.integers(0, 15, n).astype(np.uint64)
+        umi = rng.integers(0, 4, n).astype(np.uint64)
+        idx = rng.integers(0, 6, n).astype(np.uint64)
+        recs = make_records(bc, umi, idx)
+        recs_sorted = np.sort(recs, order=("barcode", "umi", "index"))
+        plain, srt = tmp_path / "u.ibu", tmp_path / "s.ibu"
+        with Writer.from_path(str(plain), Header.new(8, 6)) as w:
+            w.write_batch(recs)
+        h = Header.new(8, 6)
+        h.set_sorted()
+        with Writer.from_path(str(srt), h) as w:
+            w.write_batch(recs_sorted)
+        for dedup in (True, False):
+            a = count_matrix(str(plain), str(tmp_path / "a"),
+                             batch_records=333, dedup=dedup)
+            b = count_matrix(str(srt), str(tmp_path / "b"),
+                             batch_records=333, dedup=dedup)
+            assert a == b
+            assert (tmp_path / "a.mtx").read_bytes().split(b"\n", 2)[2] == \
+                   (tmp_path / "b.mtx").read_bytes().split(b"\n", 2)[2]
+
+    def test_lying_sorted_flag_raises(self, tmp_path):
+        recs = make_records(
+            np.array([5, 1], np.uint64),
+            np.array([0, 0], np.uint64),
+            np.array([0, 0], np.uint64),
+        )
+        h = Header.new(8, 6)
+        h.set_sorted()
+        path = tmp_path / "liar.ibu"
+        with Writer.from_path(str(path), h) as w:
+            w.write_batch(recs)
+        with pytest.raises(ValueError, match="out of order"):
+            count_matrix(str(path), str(tmp_path / "l"))
+
     def test_device_engine_matches_host_on_sorted_input(self, tmp_path):
         from ibu_tpu.pipelines import sort_file_device
 

@@ -47,6 +47,10 @@ def run_matrix(progress=None) -> list[tuple[str, bool]]:
         barcode_histogram_np,
         checksum_records_np,
         checksum_soa,
+        molecule_counts,
+        molecule_counts_np,
+        pair_molecule_counts,
+        pair_molecule_counts_np,
         sort_records_soa,
     )
     from ibu_tpu.ops.u64 import records_from_soa, soa_from_records
@@ -202,6 +206,53 @@ def run_matrix(progress=None) -> list[tuple[str, bool]]:
     for i in np.nonzero(counts_np)[0]:
         got_hist[int(u_lo[i]) | (int(u_hi[i]) << 32)] = int(counts_np[i])
     check("device histogram", got_hist == want and int(n_uniq) == len(want))
+
+    # UMI dedup kernel: distinct (bc, umi) pairs per barcode
+    mrec = make_records(
+        rng.integers(0, 200, 30_000, dtype=np.uint64),
+        rng.integers(0, 64, 30_000, dtype=np.uint64),
+        rng.integers(0, 1 << 50, 30_000, dtype=np.uint64),
+    )
+    m_lo, m_hi, mol, m_uniq = molecule_counts(
+        jnp.asarray(soa_from_records(mrec)), max_uniques=1024
+    )
+    m_want = molecule_counts_np(mrec)
+    mol_np = np.asarray(mol)
+    got_mol = {
+        int(m_lo[i]) | (int(m_hi[i]) << 32): int(mol_np[i])
+        for i in np.nonzero(mol_np)[0]
+    }
+    check(
+        "device molecule counts",
+        got_mol == m_want and int(m_uniq) == len(m_want),
+    )
+
+    # count-matrix kernel: distinct triples per (bc, idx) pair, with
+    # full-u64-range barcodes/indices so the hi-word sort keys matter
+    bpool = rng.integers(0, 1 << 64, 150, dtype=np.uint64)
+    ipool = rng.integers(0, 1 << 64, 40, dtype=np.uint64)
+    prec = make_records(
+        bpool[rng.integers(0, 150, 20_000)],
+        rng.integers(0, 16, 20_000, dtype=np.uint64),
+        ipool[rng.integers(0, 40, 20_000)],
+    )
+    pair_rows, pcounts, num_pairs = pair_molecule_counts(
+        jnp.asarray(soa_from_records(prec)), max_pairs=8192
+    )
+    p_want = pair_molecule_counts_np(prec)
+    pc = np.asarray(pcounts)
+    pr = np.asarray(pair_rows)
+    got_pairs = {
+        (
+            int(pr[0, i]) | (int(pr[1, i]) << 32),
+            int(pr[2, i]) | (int(pr[3, i]) << 32),
+        ): int(pc[i])
+        for i in np.nonzero(pc)[0]
+    }
+    check(
+        "device pair molecule counts",
+        got_pairs == p_want and int(num_pairs) == len(p_want),
+    )
 
     return results
 

@@ -94,7 +94,8 @@ class TestBench:
         line = p.stdout.strip().splitlines()[-1]
         d = json.loads(line)
         assert set(d) >= {"metric", "value", "unit", "vs_baseline"}
-        assert d["validate"].endswith("/23")  # on-device matrix ran
+        passed, total = d["validate"].split("/")  # on-device matrix ran
+        assert passed == total and int(total) >= 23
         assert d["unit"] == "GB/s"
         assert d["value"] > 0
 

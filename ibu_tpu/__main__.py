@@ -258,6 +258,35 @@ def cmd_filter(args) -> int:
     return 0
 
 
+def cmd_lookup(args) -> int:
+    import numpy as np
+
+    from ibu_tpu.io.mmap import MmapReader
+    from ibu_tpu.ops import codec as C
+    from ibu_tpu.pipelines import lookup_barcodes
+
+    h = MmapReader(args.path).header()
+    queries = []
+    for q in args.barcode:
+        if set(q.upper()) <= set("ACGT"):
+            if len(q) != h.bc_len:
+                raise SystemExit(
+                    f"barcode {q!r} has length {len(q)}, file barcode "
+                    f"length is {h.bc_len}"
+                )
+            queries.append(int(C.encode_seqs([q.upper()])[0]))
+        else:
+            queries.append(int(q, 0))
+    hits = lookup_barcodes(args.path, queries)
+    bc = C.decode_seqs(hits["barcode"], h.bc_len)
+    umi = C.decode_seqs(hits["umi"], h.umi_len)
+    for b, u, i in zip(bc, umi, hits["index"]):
+        print(f"{b}\t{u}\t{int(i)}")
+    print(f"# {len(hits)} records for {len(set(queries))} barcodes",
+          file=sys.stderr)
+    return 0
+
+
 def cmd_cells(args) -> int:
     if args.engine == "device":
         from ibu_tpu.utils import apply_platform_env
@@ -532,6 +561,17 @@ def main(argv=None) -> int:
         help="keep records whose barcode is NOT in the list",
     )
     p.set_defaults(fn=cmd_filter)
+
+    p = sub.add_parser(
+        "lookup",
+        help="pull all records for given barcodes from a SORTED file via "
+             "binary search (O(log n) page touches, no scan)",
+    )
+    p.add_argument("path")
+    p.add_argument("barcode", nargs="+",
+                   help="ACGT sequence of the file's bc length, or an "
+                        "integer (decimal or 0x hex)")
+    p.set_defaults(fn=cmd_lookup)
 
     p = sub.add_parser(
         "cells",

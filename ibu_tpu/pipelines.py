@@ -691,6 +691,62 @@ def filter_file(
 
 
 # ---------------------------------------------------------------------------
+# indexed lookup (binary search on the sorted mmap)
+# ---------------------------------------------------------------------------
+
+
+def lookup_barcodes(in_path: str, barcodes) -> np.ndarray:
+    """All records for each queried barcode, by binary search on the
+    sorted mmap — O(log n) page touches per query plus the hits
+    themselves, so a single-cell pull from a multi-GB file reads a few
+    KB. The sorted-format payoff the reference documents but never
+    exposes (its ``MmapReader`` has ``slice`` only,
+    ``/root/reference/src/io/mmap.rs:150-199``).
+
+    Requires the sorted flag (records ordered by (barcode, umi, index)
+    per ``record.rs:29-32``); raises otherwise. A lying flag yields
+    nonsense ranges — `check`/`repair` detect and fix those files. The
+    bisection runs in Python deliberately: ~2·log2(n) single-element
+    reads touch only O(log n) pages, where a vectorized
+    ``np.searchsorted`` would first fault the whole column in.
+
+    Returns the matching records (ascending barcode, file order within
+    a barcode), deduplicating repeated queries.
+    """
+    _require_plain(in_path, "lookup")
+    reader = MmapReader(in_path)
+    if not reader.header().sorted():
+        raise ValueError(
+            f"{in_path}: lookup needs the sorted flag (binary search); "
+            "run `python -m ibu_tpu sort` first"
+        )
+    col = reader.records["barcode"]  # strided memmap view, never copied
+    n = len(col)
+
+    def bisect(x: int, right: bool) -> int:
+        lo, hi = 0, n
+        while lo < hi:
+            mid = (lo + hi) // 2
+            v = int(col[mid])
+            if v < x or (right and v == x):
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
+    out = []
+    for q in np.unique(np.asarray(list(barcodes), dtype=np.uint64)):
+        lo, hi = bisect(int(q), False), bisect(int(q), True)
+        if hi > lo:
+            out.append(np.asarray(reader.records[lo:hi]))
+    if not out:
+        from ibu_tpu.constructs.record import RECORD_DTYPE
+
+        return np.empty(0, dtype=RECORD_DTYPE)
+    return np.concatenate(out)
+
+
+# ---------------------------------------------------------------------------
 # cell calling (rank-count knee → barcode allowlist)
 # ---------------------------------------------------------------------------
 

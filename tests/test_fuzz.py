@@ -215,6 +215,52 @@ def test_random_roundtrip_config(seed, tmp_path):
         assert cstats["records"] == n and cstats["sorted"]
         assert cc.read_bytes() == path.read_bytes()  # byte-exact inverse
 
+        # indexed lookup vs isin oracle (file is sorted with the flag set)
+        if n:
+            from ibu_tpu.pipelines import lookup_barcodes
+
+            qs = np.concatenate(
+                [
+                    rng.choice(records["barcode"],
+                               size=int(rng.integers(1, 4))),
+                    np.array([0xDEAD_BEEF_DEAD_BEEF], dtype=np.uint64),
+                ]
+            )
+            hits = lookup_barcodes(str(path), qs)
+            want_hits = records[np.isin(records["barcode"], qs)]
+            assert np.array_equal(hits, want_hits)
+
+        # count matrix (sorted fast path) vs the pair-triple oracle
+        from ibu_tpu.ops.stats import pair_molecule_counts_np
+        from ibu_tpu.pipelines import count_matrix
+
+        want_pairs = pair_molecule_counts_np(records)
+        mstats = count_matrix(str(path), str(tmp_path / f"f{seed}.cm"),
+                              batch_records=batch_records)
+        assert mstats["entries"] == len(want_pairs)
+        assert mstats["molecules"] == sum(want_pairs.values())
+
+        # cell calling self-consistency: the emitted allowlist is exactly
+        # the barcodes at/above the reported threshold (no planted gap
+        # here, so assert the contract, not a particular cut)
+        if n:
+            from ibu_tpu.pipelines import call_cells
+
+            allowf = tmp_path / f"f{seed}.cells.txt"
+            method = "knee" if rng.integers(0, 2) else "ordmag"
+            kst = call_cells(str(path), str(allowf), method=method,
+                             batch_records=batch_records)
+            u, c = np.unique(records["barcode"], return_counts=True)
+            assert kst["barcodes"] == len(u) and kst["records"] == n
+            want_cells = set(u[c >= kst["threshold"]].tolist())
+            listed = [l.strip() for l in allowf.read_text().splitlines()
+                      if l.strip()]
+            got_cells = set(
+                int(v) for v in np.asarray(C.encode_seqs(listed))
+            ) if listed else set()
+            assert got_cells == want_cells
+            assert kst["cells"] == len(want_cells)
+
         if n:
             cut = int(rng.integers(1, 24))  # always tears the last record
             bad = tmp_path / f"f{seed}.bad.ibu"

@@ -72,8 +72,18 @@ def cmd_stats(args) -> int:
 
     apply_platform_env()
     from ibu_tpu import MmapReader
+    from ibu_tpu.io.compression import sniff_compression
+
+    with open(args.path, "rb") as f:
+        kind = sniff_compression(f.read(4))
 
     if args.engine == "native":
+        if kind is not None:
+            print(f"{args.path} is {kind}-compressed; the native engine "
+                  "needs random access — decompress first or use the "
+                  "default engine (streams compressed files)",
+                  file=sys.stderr)
+            return 1
         from ibu_tpu import native
 
         if not native.available():
@@ -88,6 +98,18 @@ def cmd_stats(args) -> int:
             "umi_sum": umi,
             "index_sum": idx,
         }
+    elif kind is not None:
+        # compressed: stream decoded record batches through the same
+        # sharded MapReduce the mmap path uses (like `info`, which also
+        # streams compressed inputs)
+        from ibu_tpu import Reader
+        from ibu_tpu.parallel.device import (
+            STATS_MAP_REDUCE,
+            finalize_stats,
+        )
+
+        merged = STATS_MAP_REDUCE.run(Reader.from_path(args.path).batches())
+        stats = finalize_stats(merged)
     else:
         from ibu_tpu.parallel.device import stream_file_stats
 
@@ -97,6 +119,9 @@ def cmd_stats(args) -> int:
 
 
 def cmd_sort(args) -> int:
+    from ibu_tpu.pipelines import _require_plain
+
+    _require_plain(args.input, "sort")
     if args.engine == "device":
         if args.chunk_records or args.threads:
             print("--chunk-records/--threads only apply to --engine native "
@@ -134,18 +159,30 @@ def cmd_histogram(args) -> int:
     from ibu_tpu.ops import codec as C
     import numpy as np
 
-    reader = MmapReader(args.path)
-    bc_len = reader.header().bc_len
+    from ibu_tpu.io.compression import sniff_compression
+
+    with open(args.path, "rb") as f:
+        kind = sniff_compression(f.read(4))
+    if kind is None:
+        reader = MmapReader(args.path)
+        bc_len = reader.header().bc_len
+        batches = record_batches_from_mmap(reader)
+    else:  # gzip/zstd: stream decoded batches into the same engines
+        from ibu_tpu import Reader
+
+        r = Reader.from_path(args.path)
+        bc_len = r.header().bc_len
+        batches = r.batches()
     if args.device_table:
         from ibu_tpu.parallel.device import DeviceHistogram
 
         hist = DeviceHistogram(
             capacity=args.device_table,
             max_uniques_per_shard=args.max_uniques,
-        ).run(record_batches_from_mmap(reader))
+        ).run(batches)
     else:
         hist = sharded_barcode_histogram(
-            record_batches_from_mmap(reader),
+            batches,
             max_uniques_per_shard=args.max_uniques,
         )
     top = sorted(hist.items(), key=lambda kv: -kv[1])[: args.top]

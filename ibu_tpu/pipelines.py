@@ -276,7 +276,7 @@ def export_fastq(
     elsewhere); FASTQ assembly is vectorized byte-matrix fill — no
     per-read Python in either stage.
     """
-    from ibu_tpu.io.compression import open_compressed
+    from ibu_tpu.io.compression import open_compressed, sniff_compression
 
     # Phred+33 printable range only: anything outside '!'..'~' (notably
     # '\n' or '@') would structurally corrupt the 4-line FASTQ framing.
@@ -285,15 +285,31 @@ def export_fastq(
             f"qual must be a single printable Phred+33 character "
             f"('!'..'~'), got {qual!r}"
         )
-    reader = MmapReader(ibu_path)
-    h = reader.header()
-    n = len(reader)
+    with open(ibu_path, "rb") as f:
+        kind = sniff_compression(f.read(4))
+    if kind is None:
+        reader = MmapReader(ibu_path)
+        h = reader.header()
+
+        def batches():
+            m = len(reader)
+            for start in range(0, m, batch_records):
+                yield np.asarray(
+                    reader.slice(start, min(start + batch_records, m))
+                )
+    else:  # gzip/zstd input: sequential decode through the Reader
+        from ibu_tpu.io.reader import Reader
+
+        r = Reader.from_path(ibu_path)
+        h = r.header()
+        batches = r.batches
     qbyte = ord(qual)
+    n = 0
     with open_compressed(fastq_path) as out:
-        for start in range(0, n, batch_records):
-            recs = np.asarray(reader.slice(start, min(start + batch_records, n)))
+        for recs in batches():
             bc_rows, umi_rows, idx = decode_batch(recs, h.bc_len, h.umi_len)
             out.write(_fastq_block(bc_rows, umi_rows, idx, qbyte))
+            n += len(recs)
     return n
 
 
@@ -308,6 +324,7 @@ def sort_file_device(
     words when ``index_bits`` is not given), and writes with the sorted
     flag set. Returns the written header.
     """
+    _require_plain(in_path, "sort")
     from ibu_tpu.ops.stats import sort_records_soa
 
     import jax.numpy as jnp
@@ -363,6 +380,7 @@ def split_file(
             f"out_template {out_template!r} must vary with the shard "
             "number (add '{}' or a format field)"
         )
+    _require_plain(in_path, "split")
     reader = MmapReader(in_path)
     header = reader.header()
     bounds = partition(len(reader), n_shards)

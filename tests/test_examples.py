@@ -134,6 +134,20 @@ class TestCli:
             assert p.returncode == 0, p.stderr
             assert J.loads(p.stdout.strip().splitlines()[-1]) == device_stats
 
+        # compressed inputs stream through the same MapReduce: identical
+        # stats; the native engine refuses with a clear message
+        import gzip as _gz
+
+        gz = str(tmp_path / "c.ibu.gz")
+        with open(out, "rb") as fsrc, _gz.open(gz, "wb") as fdst:
+            fdst.write(fsrc.read())
+        p = run(["-m", "ibu_tpu", "stats", gz])
+        assert p.returncode == 0, p.stderr
+        assert J.loads(p.stdout.strip().splitlines()[-1]) == device_stats
+        p = run(["-m", "ibu_tpu", "stats", gz, "--engine", "native"])
+        assert p.returncode == 1
+        assert "gzip-compressed" in p.stderr
+
         dst = str(tmp_path / "s.ibu")
         p = run(["-m", "ibu_tpu", "sort", out, dst])
         assert p.returncode == 0, p.stderr

@@ -300,8 +300,9 @@ def cmd_lookup(args) -> int:
 
     from ibu_tpu.io.mmap import MmapReader
     from ibu_tpu.ops import codec as C
-    from ibu_tpu.pipelines import lookup_barcodes
+    from ibu_tpu.pipelines import _require_plain, lookup_barcodes
 
+    _require_plain(args.path, "lookup")  # before the bc_len mmap below
     h = MmapReader(args.path).header()
     queries = []
     for q in args.barcode:
@@ -699,10 +700,10 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     try:
         return args.fn(args)
-    except (IbuError, ValueError) as e:
-        # operator-facing tools report bad inputs (compressed files where
-        # random access is needed, corrupt headers, dimension mismatches)
-        # as one line, not a traceback
+    except (IbuError, ValueError, OSError) as e:
+        # operator-facing tools report bad inputs (missing files,
+        # compressed files where random access is needed, corrupt headers,
+        # dimension mismatches) as one line, not a traceback
         print(f"error: {e}", file=sys.stderr)
         return 1
 

@@ -60,10 +60,16 @@ def np_knee_index(counts_desc: np.ndarray) -> int:
 
     Degenerate curves (fewer than 3 points, or a flat curve where every
     count equals every other) have no knee; returns ``len(counts)``,
-    meaning "everything is above the knee".
+    meaning "everything is above the knee". Counts must be positive
+    (zero-count barcodes are not observations; ``log10(0)`` would poison
+    the chord with NaNs) — raises ``ValueError`` otherwise.
     """
     counts_desc = np.asarray(counts_desc)
     n = len(counts_desc)
+    if n and counts_desc[-1] <= 0:
+        raise ValueError(
+            "counts must be positive (drop zero-count barcodes first)"
+        )
     if n < 3 or counts_desc[0] == counts_desc[-1]:
         return n
     x = np.log10(np.arange(1, n + 1, dtype=np.float64))
@@ -78,8 +84,15 @@ def np_knee_index(counts_desc: np.ndarray) -> int:
 def lax_knee_index(counts_desc):
     """Jittable twin of :func:`np_knee_index` (static length).
 
-    Same contract; callable under ``jax.jit``. The degenerate-curve rule
-    is expressed with ``jnp.where`` so the trace stays branch-free.
+    Same contract, callable under ``jax.jit``, with two caveats: counts
+    are assumed positive (no raise under trace), and the curve is
+    computed in float32 (TPU-native), so above ~2M barcodes adjacent
+    ranks collapse to one x ulp and the argmin can land a few ranks away
+    from the float64 numpy oracle. The production pipeline
+    (:func:`call_from_counts`) uses the numpy form; this twin exists for
+    device-resident compositions where a rank-level wobble at the knee
+    is immaterial (the threshold changes by at most the count spread
+    across those ranks).
     """
     import jax.numpy as jnp
 
@@ -127,7 +140,8 @@ def call_from_counts(
 
     Returns ``(cell_barcodes_desc, threshold)``: the barcodes whose count
     is ``>= max(threshold, min_count)``, ordered by descending count
-    (ties broken by ascending barcode for determinism).
+    (ties broken by ascending barcode for determinism). Zero-count rows
+    (dense histogram slots) are dropped up front; negative counts raise.
     """
     barcodes = np.asarray(barcodes, dtype=np.uint64)
     counts = np.asarray(counts, dtype=np.int64)
@@ -135,6 +149,11 @@ def call_from_counts(
         raise ValueError(
             f"barcodes {barcodes.shape} vs counts {counts.shape}"
         )
+    if np.any(counts < 0):
+        raise ValueError("counts must be nonnegative")
+    nz = counts > 0
+    if not nz.all():
+        barcodes, counts = barcodes[nz], counts[nz]
     # descending count, ascending barcode within ties: lexsort is
     # last-key-primary, so sort by (barcode asc, -count asc).
     order = np.lexsort((barcodes, -counts))

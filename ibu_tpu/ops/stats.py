@@ -212,58 +212,85 @@ def _any_nonzero_rows(soa: jax.Array, rows: tuple[int, ...]) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _sorted_barcode_groups(key_rows: list, n: int, max_uniques: int):
-    """Shared scaffolding for barcode-grouped device aggregations.
+def _changed_flags(rows: list) -> jax.Array:
+    """Position-i "any of these rows differs from position i-1" flags,
+    with position 0 always flagged (segment-boundary construction)."""
+    npad = rows[0].shape[0]
+    first = jnp.ones((npad,), dtype=jnp.bool_)
+    if npad > 1:
+        f = None
+        for r in rows:
+            g = r[1:] != r[:-1]
+            f = g if f is None else f | g
+        first = first.at[1:].set(f)
+    return first
 
-    ``key_rows`` are sort-key columns most-significant first, the first two
-    being the barcode (hi, lo) words. Pow2-pads every key with the all-max
-    sentinel (weight 0) for sane sort shapes, sorts, segments by barcode,
-    and scatters the unique barcode words.
 
-    Returns ``(sorted_rows, s_w, bc_first, seg_ids, unique_lo, unique_hi,
-    num_unique)``. ``num_unique`` is the TRUE distinct-barcode count (total
-    segments minus the pad-sentinel segment when no real record shares the
-    all-max barcode) — NOT derived from any count array, which silently
-    drops segments ≥ ``max_uniques``; callers MUST treat
-    ``num_unique > max_uniques`` as overflow.
+def _sorted_barcode_groups(
+    key_rows: list, n_group_rows: int, n: int, max_uniques: int
+):
+    """Shared scaffolding for barcode-grouped device aggregations —
+    scatter-free (the formulation that took the shard histogram 47 → 140+
+    Mrec/s; see :func:`ibu_tpu.parallel.device._masked_histogram`).
+
+    ``key_rows`` are sort-key columns most-significant first; the first
+    ``n_group_rows`` (1 = lo word only under a ≤16-base hint, 2 = hi+lo)
+    form the group key. Pow2-pads every key with the all-max sentinel and
+    sorts STABLY, so real records occupy exactly positions ``[0, n)`` of
+    the sorted order (pads are appended after the reals, and stability
+    keeps genuine all-max records ahead of them). Group segments come
+    from monotonic segment ids; per-slot segment bounds from two
+    ``searchsorted`` binary searches, clipped to the valid region —
+    table-sized gathers, no record-sized scatters, no weights payload in
+    the sort.
+
+    Returns ``(sorted_rows, bc_first, s, e, unique_lo, unique_hi,
+    num_unique)``: ``s``/``e`` are each slot's valid-record bounds
+    (``e - s`` = records in that group segment), and ``num_unique`` is
+    the TRUE distinct-group count of the real records; callers MUST
+    treat ``num_unique > max_uniques`` as overflow (slots past capacity
+    were dropped).
     """
     npad = 1 << max(0, (n - 1).bit_length())  # pow2 sort shapes (see above)
-    w = jnp.ones((n,), jnp.uint32)
     if npad != n:
         padk = jnp.full((npad - n,), 0xFFFFFFFF, jnp.uint32)
         key_rows = [jnp.concatenate([k, padk]) for k in key_rows]
-        w = jnp.concatenate([w, jnp.zeros((npad - n,), jnp.uint32)])
-    *sorted_rows, s_w = jax.lax.sort(
-        (*key_rows, w), num_keys=len(key_rows)
+    sorted_rows = list(
+        jax.lax.sort(tuple(key_rows), num_keys=len(key_rows), is_stable=True)
     )
-    s_bh, s_bl = sorted_rows[0], sorted_rows[1]
-    bc_first = jnp.concatenate(
-        [
-            jnp.ones((1,), dtype=jnp.bool_),
-            (s_bh[1:] != s_bh[:-1]) | (s_bl[1:] != s_bl[:-1]),
-        ]
+    bc_first = _changed_flags(sorted_rows[:n_group_rows])
+    seg_ids = jnp.cumsum(bc_first.astype(jnp.int32)) - 1  # monotonic (Npad,)
+    slots = jnp.arange(max_uniques, dtype=jnp.int32)
+    starts = jnp.searchsorted(seg_ids, slots, side="left")
+    ends = jnp.searchsorted(seg_ids, slots, side="right")
+    s = jnp.minimum(starts.astype(jnp.int32), n)
+    e = jnp.minimum(ends.astype(jnp.int32), n)
+    at = jnp.minimum(starts, npad - 1)
+    valid = e > s
+    unique_lo = jnp.where(valid, sorted_rows[n_group_rows - 1][at], 0)
+    unique_hi = (
+        jnp.where(valid, sorted_rows[0][at], 0)
+        if n_group_rows == 2
+        else jnp.zeros((max_uniques,), jnp.uint32)
     )
-    seg_ids = jnp.cumsum(bc_first.astype(jnp.int32)) - 1  # (Npad,)
-    unique_lo = jnp.zeros((max_uniques,), jnp.uint32).at[seg_ids].set(s_bl)
-    unique_hi = jnp.zeros((max_uniques,), jnp.uint32).at[seg_ids].set(s_bh)
-    if npad != n:
-        has_real_max = jnp.any(
-            (s_w > 0)
-            & (s_bh == jnp.uint32(0xFFFFFFFF))
-            & (s_bl == jnp.uint32(0xFFFFFFFF))
-        )
-        sentinel_seg = (~has_real_max).astype(jnp.int32)
-    else:
-        sentinel_seg = jnp.int32(0)
-    num_unique = jnp.where(
-        n > 0, seg_ids[-1] + 1 - sentinel_seg, jnp.int32(0)
+    # distinct groups among the real records: they occupy [0, n) of the
+    # stable sort, so the last real record's segment id caps the count
+    num_unique = (
+        seg_ids[n - 1] + 1 if n > 0 else jnp.int32(0)
     )
-    return sorted_rows, s_w, bc_first, seg_ids, unique_lo, unique_hi, num_unique
+    return sorted_rows, bc_first, s, e, unique_lo, unique_hi, num_unique
 
 
-@functools.partial(jax.jit, static_argnames=("max_uniques",))
+def _prefix_count_at(flags: jax.Array):
+    """Inclusive-cumsum reader for segment-bound difference counting:
+    returns ``f(pos) = sum(flags[:pos])`` built on one cumsum + gathers."""
+    cum = jnp.cumsum(flags.astype(jnp.int32))
+    return lambda pos: jnp.where(pos > 0, cum[jnp.maximum(pos - 1, 0)], 0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_uniques", "bc_len"))
 def barcode_histogram(
-    soa: jax.Array, max_uniques: int
+    soa: jax.Array, max_uniques: int, bc_len: int | None = None
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Count records per unique barcode.
 
@@ -272,12 +299,18 @@ def barcode_histogram(
     padded to ``max_uniques`` entries (tail zeroed) and ``num_unique`` is the
     scalar number of valid entries. Sorts on device, then segments runs —
     replacing the reference pattern of a host hash map per thread.
+    Per-barcode counts are segment-bound differences (scatter-free).
+
+    ``bc_len ≤ 16`` (CALLER-VERIFIED, e.g. from the file header) drops the
+    provably-zero barcode hi word from the sort — the hinted-sort trick
+    (``sort_records_soa``); a violated hint silently mis-groups.
     """
     n = soa.shape[1]
-    _, s_w, _, seg_ids, unique_lo, unique_hi, num_unique = (
-        _sorted_barcode_groups([soa[1], soa[0]], n, max_uniques)
+    rows = ([soa[1]] if bc_len is None or bc_len > 16 else []) + [soa[0]]
+    _, _, s, e, unique_lo, unique_hi, num_unique = _sorted_barcode_groups(
+        rows, len(rows), n, max_uniques
     )
-    counts = jax.ops.segment_sum(s_w, seg_ids, num_segments=max_uniques)
+    counts = (e - s).astype(jnp.uint32)
     return unique_lo, unique_hi, counts, num_unique
 
 
@@ -292,9 +325,14 @@ def barcode_histogram_np(records: np.ndarray) -> dict[int, int]:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("max_uniques",))
+@functools.partial(
+    jax.jit, static_argnames=("max_uniques", "bc_len", "umi_len")
+)
 def molecule_counts(
-    soa: jax.Array, max_uniques: int
+    soa: jax.Array,
+    max_uniques: int,
+    bc_len: int | None = None,
+    umi_len: int | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Distinct ``(barcode, umi)`` pairs per barcode — UMI deduplication.
 
@@ -302,9 +340,13 @@ def molecule_counts(
     molecule; the per-barcode count of DISTINCT pairs is the standard
     single-cell molecule count. Beyond the reference's capability set
     (it stops at raw records), built from the same device primitives as
-    :func:`barcode_histogram`: one 4-key sort (bc_hi, bc_lo, umi_hi,
-    umi_lo), pair-boundary flags, and a segment-sum of pair-first flags
-    over barcode segments.
+    :func:`barcode_histogram`: one sort over (bc, umi) words,
+    pair-boundary flags, and a pair-first cumsum difference at each
+    barcode segment's bounds (scatter-free).
+
+    ``bc_len``/``umi_len`` ≤ 16 (CALLER-VERIFIED, e.g. from the file
+    header) drop the provably-zero hi words from the sort — the
+    hinted-sort trick; a violated hint silently mis-groups.
 
     Static-shape contract mirrors :func:`barcode_histogram`: returns
     ``(unique_lo, unique_hi, mol_counts, num_unique)`` padded to
@@ -312,24 +354,16 @@ def molecule_counts(
     (entries were dropped) and callers MUST check.
     """
     n = soa.shape[1]
-    sorted_rows, s_w, bc_first, seg_ids, unique_lo, unique_hi, num_unique = (
+    bc_rows = ([soa[1]] if bc_len is None or bc_len > 16 else []) + [soa[0]]
+    umi_rows = ([soa[3]] if umi_len is None or umi_len > 16 else []) + [soa[2]]
+    sorted_rows, bc_first, s, e, unique_lo, unique_hi, num_unique = (
         _sorted_barcode_groups(
-            [soa[1], soa[0], soa[3], soa[2]], n, max_uniques
+            bc_rows + umi_rows, len(bc_rows), n, max_uniques
         )
     )
-    s_uh, s_ul = sorted_rows[2], sorted_rows[3]
-    pair_first = jnp.concatenate(
-        [
-            jnp.ones((1,), dtype=jnp.bool_),
-            bc_first[1:]
-            | (s_uh[1:] != s_uh[:-1])
-            | (s_ul[1:] != s_ul[:-1]),
-        ]
-    )
-    mol = jax.ops.segment_sum(
-        pair_first.astype(jnp.uint32) * s_w, seg_ids,
-        num_segments=max_uniques,
-    )
+    pair_first = bc_first | _changed_flags(sorted_rows[len(bc_rows):])
+    pf_at = _prefix_count_at(pair_first)
+    mol = jnp.where(e > s, pf_at(e) - pf_at(s), 0).astype(jnp.uint32)
     return unique_lo, unique_hi, mol, num_unique
 
 
@@ -347,9 +381,16 @@ def molecule_counts_np(records: np.ndarray) -> dict[int, int]:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("max_pairs",))
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_pairs", "bc_len", "umi_len", "index_bits"),
+)
 def pair_molecule_counts(
-    soa: jax.Array, max_pairs: int
+    soa: jax.Array,
+    max_pairs: int,
+    bc_len: int | None = None,
+    umi_len: int | None = None,
+    index_bits: int | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Distinct ``(barcode, umi, index)`` triples per ``(barcode, index)``
     pair — the device kernel under :func:`ibu_tpu.pipelines.count_matrix`.
@@ -370,32 +411,37 @@ def pair_molecule_counts(
     """
     n = soa.shape[1]
     # sort keys most-significant first: bc (hi, lo), idx (hi, lo), umi
-    # (hi, lo) — this orders by the (barcode, index, umi) triple. Pow2
-    # padding uses all-max sentinel keys; stability keeps real all-max
-    # records (input prefix) before the sentinels, so valid records
-    # occupy exactly positions [0, n) of the sorted order.
-    key_rows = [soa[1], soa[0], soa[5], soa[4], soa[3], soa[2]]
+    # (hi, lo) — this orders by the (barcode, index, umi) triple, with
+    # CALLER-VERIFIED hints (≤16-base fields / index_bits ≤ 32) dropping
+    # provably-zero hi words from the comparator. Pow2 padding uses
+    # all-max sentinel keys; stability keeps real all-max records (input
+    # prefix) before the sentinels, so valid records occupy exactly
+    # positions [0, n) of the sorted order.
+    bc_hi = bc_len is None or bc_len > 16
+    umi_hi = umi_len is None or umi_len > 16
+    idx_hi = index_bits is None or index_bits > 32
+    key_rows = (
+        ([soa[1]] if bc_hi else [])
+        + [soa[0]]
+        + ([soa[5]] if idx_hi else [])
+        + [soa[4]]
+    )
+    n_pair_rows = len(key_rows)
+    key_rows += ([soa[3]] if umi_hi else []) + [soa[2]]
     npad = 1 << max(0, (n - 1).bit_length())
     if npad != n:
         padk = jnp.full((npad - n,), 0xFFFFFFFF, jnp.uint32)
         key_rows = [jnp.concatenate([k, padk]) for k in key_rows]
-    srt = jax.lax.sort(tuple(key_rows), num_keys=6, is_stable=True)
+    srt = jax.lax.sort(
+        tuple(key_rows), num_keys=len(key_rows), is_stable=True
+    )
 
-    def changed(rows):
-        c = jnp.ones((npad,), jnp.bool_)
-        flags = None
-        for r in rows:
-            f = r[1:] != r[:-1]
-            flags = f if flags is None else flags | f
-        return c.at[1:].set(flags) if npad > 1 else c
-
-    pair_first = changed(srt[:4])
-    triple_first = changed(srt)  # pair change implies triple change
+    pair_first = _changed_flags(srt[:n_pair_rows])
+    triple_first = _changed_flags(srt)  # pair change implies triple change
     seg_ids = jnp.cumsum(pair_first.astype(jnp.int32)) - 1  # monotonic
     # scatter-free compaction (see parallel/device._masked_histogram for
     # the measured 3-6x vs segment_sum/.at[].set on TPU): per capacity
     # slot, segment bounds via binary search, clipped to the valid region
-    tf_cum = jnp.cumsum(triple_first.astype(jnp.int32))  # inclusive
     slots = jnp.arange(max_pairs, dtype=jnp.int32)
     starts = jnp.searchsorted(seg_ids, slots, side="left")
     ends = jnp.searchsorted(seg_ids, slots, side="right")
@@ -403,17 +449,22 @@ def pair_molecule_counts(
     e = jnp.minimum(ends.astype(jnp.int32), n)
     # distinct triples in [s, e): inclusive-cumsum difference; s is always
     # a triple_first position (a pair change implies a triple change)
-    tf_at = lambda pos: jnp.where(
-        pos > 0, tf_cum[jnp.maximum(pos - 1, 0)], 0
-    )
+    tf_at = _prefix_count_at(triple_first)
     counts = jnp.where(e > s, tf_at(e) - tf_at(s), 0).astype(jnp.uint32)
     at = jnp.minimum(starts, npad - 1)
+    zeros = jnp.zeros((max_pairs,), jnp.uint32)
+    bc_lo_i = 1 if bc_hi else 0
+    idx_lo_i = n_pair_rows - 1
     pair_rows = jnp.stack(
         [
-            jnp.where(counts > 0, srt[1][at], 0),  # bc_lo
-            jnp.where(counts > 0, srt[0][at], 0),  # bc_hi
-            jnp.where(counts > 0, srt[3][at], 0),  # idx_lo
-            jnp.where(counts > 0, srt[2][at], 0),  # idx_hi
+            jnp.where(counts > 0, srt[bc_lo_i][at], 0),  # bc_lo
+            jnp.where(counts > 0, srt[0][at], 0) if bc_hi else zeros,
+            jnp.where(counts > 0, srt[idx_lo_i][at], 0),  # idx_lo
+            (
+                jnp.where(counts > 0, srt[idx_lo_i - 1][at], 0)
+                if idx_hi
+                else zeros
+            ),
         ]
     )
     num_pairs = jnp.where(

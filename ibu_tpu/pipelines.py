@@ -302,7 +302,20 @@ def export_fastq(
 
         r = Reader.from_path(ibu_path)
         h = r.header()
-        batches = r.batches
+
+        def batches():
+            # honor batch_records by re-chunking the Reader's fixed-size
+            # refills (fewer, larger decode dispatches)
+            pend: list[np.ndarray] = []
+            have = 0
+            for chunk in r.batches():
+                pend.append(chunk)
+                have += len(chunk)
+                if have >= batch_records:
+                    yield np.concatenate(pend)
+                    pend, have = [], 0
+            if pend:
+                yield np.concatenate(pend)
     qbyte = ord(qual)
     n = 0
     with open_compressed(fastq_path) as out:
@@ -847,13 +860,13 @@ def call_cells(
     from ibu_tpu.ops.knee import call_from_counts
 
     _require_plain(in_path, "cells")  # name the user-facing tool
+    bc_len = MmapReader(in_path).header().bc_len  # one header parse
     barcodes, counts = barcode_counts(
         in_path, engine=engine, batch_records=batch_records
     )
     cells, threshold = call_from_counts(
         barcodes, counts, method=method, expect=expect, min_count=min_count
     )
-    bc_len = MmapReader(in_path).header().bc_len
     with open(out_path, "w") as f:
         f.writelines(s + "\n" for s in C.decode_seqs(cells, bc_len))
     return {
@@ -908,8 +921,20 @@ def _device_pair_counts(
                 "first, or use engine='host'"
             )
         prev = (int(bc[-1]), int(umi[-1]), int(idx[-1]))
+        # hinted sort: drop provably-zero hi words from the device
+        # comparator. Hints are verified against the DATA per batch (one
+        # host max() per column — cheap next to the device sort), not
+        # trusted from the header: a corrupt out-of-range field would
+        # otherwise silently mis-group.
+        bc_hint = 16 if int(bc.max(initial=0)) < 1 << 32 else None
+        umi_hint = 16 if int(umi.max(initial=0)) < 1 << 32 else None
+        idx_bits = 32 if int(idx.max(initial=0)) < 1 << 32 else None
         pair_rows, counts, num_pairs = pair_molecule_counts(
-            jnp.asarray(soa_from_records(batch)), max_pairs
+            jnp.asarray(soa_from_records(batch)),
+            max_pairs,
+            bc_len=bc_hint,
+            umi_len=umi_hint,
+            index_bits=idx_bits,
         )
         pair_rows, counts = np.asarray(pair_rows), np.asarray(counts)
         if int(num_pairs) > max_pairs:

@@ -104,6 +104,17 @@ class TestCallFromCounts:
         got, _ = call_from_counts(barcodes, counts, min_count=3)
         np.testing.assert_array_equal(got, [1, 5, 9])
 
+    def test_zero_counts_dropped_negative_raise(self):
+        # dense histogram slots with zero counts are not observations
+        barcodes = np.array([1, 2, 3, 4], dtype=np.uint64)
+        counts = np.array([100, 0, 90, 0], dtype=np.int64)
+        got, _ = call_from_counts(barcodes, counts, min_count=1)
+        assert set(got.tolist()) == {1, 3}
+        with pytest.raises(ValueError, match="nonnegative"):
+            call_from_counts(barcodes, np.array([5, -1, 2, 1]))
+        with pytest.raises(ValueError, match="positive"):
+            np_knee_index(np.array([5, 3, 0]))
+
     def test_min_count_floor_and_bad_method(self):
         barcodes = np.arange(4, dtype=np.uint64)
         counts = np.array([100, 100, 100, 1], dtype=np.int64)

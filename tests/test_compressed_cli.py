@@ -70,6 +70,8 @@ class TestRefusesClearly:
             (["sort", "{gz}", "{out}", "--engine", "device"], "sort"),
             (["split", "{gz}", "{shard}", "2"], "split"),
             (["stats", "{gz}", "--engine", "native"], "native engine"),
+            (["lookup", "{gz}", "AAAAAAAAAAAAAAAA"], "lookup"),
+            (["cells", "{gz}", "-o", "{out}"], "cells"),
         ],
     )
     def test_clear_error_names_tool(self, gz_pair, tmp_path, capsys,
@@ -85,3 +87,12 @@ class TestRefusesClearly:
         err = capsys.readouterr().err
         assert "gzip-compressed" in err and tool in err
         assert "magic" not in err.lower()
+
+    def test_missing_file_is_one_line_error(self, tmp_path, capsys):
+        # FileNotFoundError from the sniff open() must not traceback
+        for argv in (["stats", str(tmp_path / "nope.ibu")],
+                     ["histogram", str(tmp_path / "nope.ibu")],
+                     ["sort", str(tmp_path / "nope.ibu"), "x.ibu"]):
+            assert main(argv) == 1
+            err = capsys.readouterr().err
+            assert err.startswith("error:") and "nope.ibu" in err

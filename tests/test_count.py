@@ -188,6 +188,28 @@ class TestCountMatrix:
         assert a == b
         assert _read_mtx(str(tmp_path / "h")) == _read_mtx(str(tmp_path / "d"))
 
+    def test_pair_kernel_hints_match_unhinted(self):
+        from ibu_tpu.ops.stats import pair_molecule_counts
+        from ibu_tpu.ops.u64 import soa_from_records
+
+        rng = np.random.default_rng(17)
+        recs = make_records(
+            rng.integers(0, 40, 3000).astype(np.uint64),
+            rng.integers(0, 8, 3000).astype(np.uint64),
+            rng.integers(0, 12, 3000).astype(np.uint64),
+        )
+        soa = soa_from_records(recs)
+        base = pair_molecule_counts(soa, max_pairs=1024)
+        for kw in (
+            {"bc_len": 16},
+            {"umi_len": 12},
+            {"index_bits": 32},
+            {"bc_len": 16, "umi_len": 12, "index_bits": 32},
+        ):
+            hinted = pair_molecule_counts(soa, max_pairs=1024, **kw)
+            for a, b in zip(base, hinted):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_device_engine_boundary_duplicate_triple(self, tmp_path):
         # a run of identical records straddling the batch edge must count
         # as ONE molecule (the boundary -1 correction)

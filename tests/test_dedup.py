@@ -59,6 +59,24 @@ class TestMoleculeCounts:
         }
         assert got == want and int(n_unique) == 2
 
+    def test_hinted_matches_unhinted(self):
+        # hints drop provably-zero hi words from the device sort; with
+        # in-range data (bc/umi < 2^32) results must be identical
+        rng = np.random.default_rng(7)
+        bc = rng.integers(0, 200, 4000).astype(np.uint64)
+        umi = rng.integers(0, 64, 4000).astype(np.uint64)
+        recs = make_records(bc, umi, np.arange(4000, dtype=np.uint64))
+        soa = soa_from_records(recs)
+        base = [np.asarray(x) for x in molecule_counts(soa, max_uniques=256)]
+        hinted = [
+            np.asarray(x)
+            for x in molecule_counts(
+                soa, max_uniques=256, bc_len=16, umi_len=12
+            )
+        ]
+        for a, b in zip(base, hinted):
+            np.testing.assert_array_equal(a, b)
+
     def test_overflow_detectable(self):
         rng = np.random.default_rng(1)
         recs = _random_dup_records(rng, 512, n_barcodes=100)

@@ -110,6 +110,19 @@ class TestHistogram:
         _, _, counts, _ = barcode_histogram(soa, max_uniques=128)
         assert int(np.asarray(counts).sum()) == 5_000
 
+    def test_bc_len_hint_matches_unhinted(self):
+        records = random_records(4_097, seed=9, bc_space=64)
+        soa = jnp.asarray(soa_from_records(records))
+        base = [
+            np.asarray(x) for x in barcode_histogram(soa, max_uniques=128)
+        ]
+        hinted = [
+            np.asarray(x)
+            for x in barcode_histogram(soa, max_uniques=128, bc_len=16)
+        ]
+        for a, b in zip(base, hinted):
+            np.testing.assert_array_equal(a, b)
+
 
 class TestHintedSort:
     """sort_records_soa hints: drop provably-zero hi words from the sort."""

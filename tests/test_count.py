@@ -188,6 +188,27 @@ class TestCountMatrix:
         assert a == b
         assert _read_mtx(str(tmp_path / "h")) == _read_mtx(str(tmp_path / "d"))
 
+    def test_device_engine_capacity_growth(self, tmp_path):
+        # > 16384 distinct pairs forces the adaptive capacity to grow
+        # past its 1<<14 starting point mid-stream; results must still
+        # match the host engine exactly
+        rng = np.random.default_rng(29)
+        n = 30_000
+        p, _ = _write(
+            tmp_path / "g.ibu",
+            bc=np.sort(rng.integers(0, 220, n)),
+            umi=rng.integers(0, 5, n),
+            idx=rng.integers(0, 120, n),
+        )
+        from ibu_tpu.pipelines import sort_file_device
+
+        srt = str(tmp_path / "g.sorted.ibu")
+        sort_file_device(p, srt)
+        a = count_matrix(srt, str(tmp_path / "gh"))
+        b = count_matrix(srt, str(tmp_path / "gd"), engine="device")
+        assert a == b
+        assert a["entries"] > 16384  # growth actually exercised
+
     def test_pair_kernel_hints_match_unhinted(self):
         from ibu_tpu.ops.stats import pair_molecule_counts
         from ibu_tpu.ops.u64 import soa_from_records

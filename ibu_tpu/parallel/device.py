@@ -383,9 +383,12 @@ def _sparse_group_sum(
     return unique_lo, unique_hi, counts, n_distinct
 
 
-def _masked_histogram_scatter(raw, n_valid, max_uniques: int):
+def _masked_histogram_scatter(raw, n_valid, max_uniques: int,
+                              bc16: bool = False):
     """Scatter-based per-shard histogram (the r1/r2 production form; kept
-    for lab comparisons — see :func:`_masked_histogram` for why it lost)."""
+    for lab comparisons — see :func:`_masked_histogram` for why it lost).
+    ``bc16`` is accepted for signature parity and ignored (always the
+    full 2-key sort)."""
     soa = raw.T
     bc_lo, bc_hi = soa[0], soa[1]
     n = bc_lo.shape[0]
@@ -402,7 +405,7 @@ def _masked_histogram_scatter(raw, n_valid, max_uniques: int):
     return unique_lo, unique_hi, counts, n_distinct[None]
 
 
-def _masked_histogram(raw, n_valid, max_uniques: int):
+def _masked_histogram(raw, n_valid, max_uniques: int, bc16: bool = False):
     """Per-shard histogram, scatter-free.
 
     The classic sort→segment-ids→``segment_sum``+``.at[].set`` formulation
@@ -426,6 +429,10 @@ def _masked_histogram(raw, n_valid, max_uniques: int):
     counts, n_distinct[1])`` with empty slots zeroed; ``n_distinct``
     counting true distinct valid barcodes (callers must treat
     ``n_distinct > max_uniques`` as overflow).
+
+    ``bc16=True`` (CALLER-VERIFIED: every valid barcode < 2^32, e.g. one
+    host ``max()`` per batch) drops the provably-zero hi word from the
+    sort — a 1-key comparator.
     """
     soa = raw.T
     bc_lo, bc_hi = soa[0], soa[1]
@@ -433,18 +440,24 @@ def _masked_histogram(raw, n_valid, max_uniques: int):
     maxk = jnp.uint32(0xFFFFFFFF)
     valid = jnp.arange(n, dtype=jnp.int32) < n_valid
     key_lo = jnp.where(valid, bc_lo, maxk)
-    key_hi = jnp.where(valid, bc_hi, maxk)
     npad = 1 << max(0, (n - 1).bit_length())  # pow2 sort shapes (see stats)
+    padk = jnp.full((npad - n,), maxk, jnp.uint32)
     if npad != n:
-        padk = jnp.full((npad - n,), maxk, jnp.uint32)
         key_lo = jnp.concatenate([key_lo, padk])
-        key_hi = jnp.concatenate([key_hi, padk])
-    s_hi, s_lo = jax.lax.sort((key_hi, key_lo), num_keys=2, is_stable=True)
+    if bc16:
+        (s_lo,) = jax.lax.sort((key_lo,), num_keys=1, is_stable=True)
+        s_hi = jnp.zeros_like(s_lo)
+        first_tail = s_lo[1:] != s_lo[:-1]
+    else:
+        key_hi = jnp.where(valid, bc_hi, maxk)
+        if npad != n:
+            key_hi = jnp.concatenate([key_hi, padk])
+        s_hi, s_lo = jax.lax.sort(
+            (key_hi, key_lo), num_keys=2, is_stable=True
+        )
+        first_tail = (s_hi[1:] != s_hi[:-1]) | (s_lo[1:] != s_lo[:-1])
     first = jnp.concatenate(
-        [
-            jnp.ones((1,), dtype=jnp.bool_),
-            (s_hi[1:] != s_hi[:-1]) | (s_lo[1:] != s_lo[:-1]),
-        ]
+        [jnp.ones((1,), dtype=jnp.bool_), first_tail]
     )
     seg_ids = jnp.cumsum(first.astype(jnp.int32)) - 1  # monotonic
     total_valid = n_valid.astype(jnp.int32)
@@ -482,23 +495,25 @@ def sharded_barcode_histogram(
     """
     mesh = mesh or make_mesh()
 
-    hist_fn = jax.jit(
-        shard_map(
-            functools.partial(
-                _masked_histogram, max_uniques=max_uniques_per_shard
-            ),
-            mesh=mesh,
-            in_specs=(P(AXIS, None), P(AXIS)),
-            out_specs=P(AXIS),
-            check_vma=False,
-        )
+    mesh_key = (
+        mesh.axis_names,
+        tuple(d.id for d in mesh.devices.flat),
     )
-
+    hist_fns = {}  # built lazily: most streams never need both variants
     totals: dict[int, int] = {}
     for batch in batches:
+        # hinted 1-key sort when this batch's barcodes provably fit the
+        # lo word (one host max() over the wire view's bc_hi column —
+        # data-verified, not header-trusted)
+        hi_col = as_raw_u32(batch)[:, 1]
+        bc16 = len(hi_col) == 0 or int(hi_col.max()) == 0
+        if bc16 not in hist_fns:
+            hist_fns[bc16] = _shard_hist_fn(
+                mesh, mesh_key, max_uniques_per_shard, bc16
+            )
         dev_soa, dev_valid = shard_batch(batch, mesh)
         u_lo, u_hi, counts, n_seen = jax.tree.map(
-            np.asarray, hist_fn(dev_soa, dev_valid)
+            np.asarray, hist_fns[bc16](dev_soa, dev_valid)
         )
         if int(n_seen.max()) > max_uniques_per_shard:
             raise ValueError(
@@ -539,18 +554,6 @@ def _histogram_fns(mesh, mesh_key, capacity, max_uniques_per_shard,
     key = (mesh_key, capacity, max_uniques_per_shard, merge_every)
     if key in _HIST_FN_CACHE:
         return _HIST_FN_CACHE[key]
-
-    shard_fn = jax.jit(
-        shard_map(
-            functools.partial(
-                _masked_histogram, max_uniques=max_uniques_per_shard
-            ),
-            mesh=mesh,
-            in_specs=(P(AXIS, None), P(AXIS)),
-            out_specs=P(AXIS),
-            check_vma=False,
-        )
-    )
 
     replicated = NamedSharding(mesh, P())
     staged = NamedSharding(mesh, P(None, AXIS))
@@ -604,8 +607,34 @@ def _histogram_fns(mesh, mesh_key, capacity, max_uniques_per_shard,
 
     if len(_HIST_FN_CACHE) >= _HIST_FN_CACHE_MAX:
         _HIST_FN_CACHE.pop(next(iter(_HIST_FN_CACHE)))
-    _HIST_FN_CACHE[key] = (shard_fn, stage_write, merge)
-    return shard_fn, stage_write, merge
+    _HIST_FN_CACHE[key] = (stage_write, merge)
+    return stage_write, merge
+
+
+def _shard_hist_fn(mesh, mesh_key, max_uniques_per_shard, bc16: bool):
+    """Build (or fetch cached) the per-shard histogram jit — keyed
+    separately from the stage/merge pair so the hinted (``bc16``) and
+    full variants don't duplicate those compiles."""
+    key = ("shard", mesh_key, max_uniques_per_shard, bc16)
+    if key in _HIST_FN_CACHE:
+        return _HIST_FN_CACHE[key]
+    fn = jax.jit(
+        shard_map(
+            functools.partial(
+                _masked_histogram,
+                max_uniques=max_uniques_per_shard,
+                bc16=bc16,
+            ),
+            mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS)),
+            out_specs=P(AXIS),
+            check_vma=False,
+        )
+    )
+    if len(_HIST_FN_CACHE) >= _HIST_FN_CACHE_MAX:
+        _HIST_FN_CACHE.pop(next(iter(_HIST_FN_CACHE)))
+    _HIST_FN_CACHE[key] = fn
+    return fn
 
 
 class DeviceHistogram:
@@ -657,7 +686,8 @@ class DeviceHistogram:
             self.mesh.axis_names,
             tuple(d.id for d in self.mesh.devices.flat),
         )
-        self._shard_fn, self._stage_write, self._merge = _histogram_fns(
+        self._mesh_key = mesh_key
+        self._stage_write, self._merge = _histogram_fns(
             self.mesh, mesh_key, capacity, max_uniques_per_shard, merge_every
         )
         replicated = NamedSharding(self.mesh, P())
@@ -678,13 +708,23 @@ class DeviceHistogram:
         }
 
     def update(self, batch: np.ndarray) -> None:
-        """Fold one host batch (structured records or ``(6,B)`` columns)."""
-        dev_raw, dev_valid = shard_batch(batch, self.mesh, self._placer)
-        self.update_placed(dev_raw, dev_valid)
+        """Fold one host batch (structured records or ``(6,B)`` columns).
 
-    def update_placed(self, dev_raw, dev_valid) -> None:
-        """Fold one already-placed ``(device_raw, valid)`` pair."""
-        u_lo, u_hi, counts, n_seen = self._shard_fn(dev_raw, dev_valid)
+        Batches whose barcodes provably fit the lo word (one host
+        ``max()`` over the wire view's bc_hi column — data-verified) take
+        the hinted 1-key shard sort.
+        """
+        hi_col = as_raw_u32(batch)[:, 1]
+        bc16 = len(hi_col) == 0 or int(hi_col.max()) == 0
+        dev_raw, dev_valid = shard_batch(batch, self.mesh, self._placer)
+        self.update_placed(dev_raw, dev_valid, bc16=bc16)
+
+    def update_placed(self, dev_raw, dev_valid, bc16: bool = False) -> None:
+        """Fold one already-placed ``(device_raw, valid)`` pair.
+        ``bc16=True`` is CALLER-VERIFIED (all barcodes < 2^32)."""
+        u_lo, u_hi, counts, n_seen = _shard_hist_fn(
+            self.mesh, self._mesh_key, self.max_uniques_per_shard, bc16
+        )(dev_raw, dev_valid)
         self._state = self._stage_write(
             self._state, u_lo, u_hi, counts, n_seen,
             jnp.int32(self._filled),

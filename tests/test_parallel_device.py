@@ -134,6 +134,43 @@ class TestShardedHistogram:
         got = sharded_barcode_histogram(iter(batches), max_uniques_per_shard=512)
         assert got == barcode_histogram_np(records)
 
+    def test_mixed_hinted_and_full_batches(self):
+        """A stream whose first batch fits the lo word (1-key hinted
+        sort) and whose second carries u64-range barcodes (full 2-key
+        sort) must merge into one exact histogram — both compiled
+        variants are exercised and their results combined."""
+        rng = np.random.default_rng(13)
+        small = make_records(
+            rng.integers(0, 40, 5000).astype(np.uint64),
+            np.arange(5000, dtype=np.uint64),
+            np.arange(5000, dtype=np.uint64),
+        )
+        big = make_records(
+            rng.integers(0, 40, 3000).astype(np.uint64)
+            | np.uint64(0xFFFFFFFF00000000),
+            np.arange(3000, dtype=np.uint64),
+            np.arange(3000, dtype=np.uint64),
+        )
+        got = sharded_barcode_histogram(
+            iter([soa_from_records(small), soa_from_records(big)]),
+            max_uniques_per_shard=256,
+        )
+        assert got == barcode_histogram_np(np.concatenate([small, big]))
+
+    def test_hinted_all_max_lo_barcode_not_pad_merged(self):
+        """bc16 path: a genuine all-T 16-base barcode packs to
+        0xFFFFFFFF — the mask/pad sentinel value. Stability must keep it
+        counted and distinct from padding."""
+        records = make_records(
+            np.full(9, 0xFFFFFFFF, dtype=np.uint64),  # pads to 16
+            np.arange(9, dtype=np.uint64),
+            np.arange(9, dtype=np.uint64),
+        )
+        got = sharded_barcode_histogram(
+            iter([soa_from_records(records)]), max_uniques_per_shard=64
+        )
+        assert got == {0xFFFFFFFF: 9}
+
     def test_padding_not_counted(self):
         """n not divisible by 8: zero-padding must not inflate barcode 0."""
         records = make_records(

@@ -43,6 +43,9 @@ def main() -> None:
     ap.add_argument("--shard-impl", choices=("searchsorted", "scatter"),
                     default="searchsorted",
                     help="A/B the per-shard histogram formulation")
+    ap.add_argument("--bc16", action="store_true",
+                    help="hinted 1-key shard sort (true for this lab's "
+                         "data: barcodes < 2^32)")
     args = ap.parse_args()
 
     import jax
@@ -80,14 +83,15 @@ def main() -> None:
 
     # compile + warm both stages
     h = fresh()
-    h.update_placed(*placed[0])
+    h.update_placed(*placed[0], bc16=args.bc16)
     h.finalize()
 
     def run(k):
         hist = fresh()
         t0 = time.perf_counter()
         for i in range(k):
-            hist.update_placed(*placed[i % args.buffers])
+            hist.update_placed(*placed[i % args.buffers],
+                               bc16=args.bc16)
         jax.block_until_ready(hist._state["cnt"])
         return time.perf_counter() - t0, hist
 
@@ -113,6 +117,7 @@ def main() -> None:
     gbps = nbytes / per_iter / 1e9
     log(f"  slope: {per_iter*1e3:.2f} ms/batch = {gbps:.2f} GB/s device-side")
     print(json.dumps({
+        "bc16": bool(args.bc16),
         "batch_records": b,
         "MB": round(nbytes / 1e6, 1),
         "barcodes": args.barcodes,

@@ -38,6 +38,7 @@ class DeviceStream:
         mesh=None,
         prefetch: int = STREAM_PREFETCH,
         placer=None,
+        with_hint: bool = False,
     ):
         from ibu_tpu.parallel.device import default_placer, make_mesh
 
@@ -45,19 +46,26 @@ class DeviceStream:
         self._mesh = mesh or make_mesh()
         self._prefetch = max(1, prefetch)
         self._placer = placer or default_placer
+        self._with_hint = with_hint
         self._queue: deque = deque()
 
     def _fill(self) -> None:
-        from ibu_tpu.parallel.device import shard_batch
+        from ibu_tpu.parallel.device import as_raw_u32, shard_batch
 
         while len(self._queue) < self._prefetch:
             try:
                 batch = next(self._batches)
             except StopIteration:
                 return
-            self._queue.append(
-                shard_batch(batch, self._mesh, self._placer)
-            )
+            item = shard_batch(batch, self._mesh, self._placer)
+            if self._with_hint:
+                # data-verified "all barcodes < 2^32" hint: one strided max
+                # over the hi word of the wire view, before placement (the
+                # pages are about to be DMA'd anyway)
+                hi_col = as_raw_u32(batch)[:, 1]
+                bc16 = len(hi_col) == 0 or int(hi_col.max()) == 0
+                item = item + (bc16,)
+            self._queue.append(item)
 
     def __iter__(self):
         return self
@@ -76,6 +84,7 @@ def stream_file(
     mesh=None,
     batch_records: int = STREAM_BATCH_RECORDS,
     prefetch: int = STREAM_PREFETCH,
+    with_hint: bool = False,
 ) -> DeviceStream:
     """Stream an IBU file to the device mesh with prefetch.
 
@@ -96,4 +105,5 @@ def stream_file(
         record_batches_from_mmap(reader, batch_records),
         mesh=mesh,
         prefetch=prefetch,
+        with_hint=with_hint,
     )

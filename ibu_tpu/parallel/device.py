@@ -721,7 +721,16 @@ class DeviceHistogram:
 
     def update_placed(self, dev_raw, dev_valid, bc16: bool = False) -> None:
         """Fold one already-placed ``(device_raw, valid)`` pair.
-        ``bc16=True`` is CALLER-VERIFIED (all barcodes < 2^32)."""
+        ``bc16=True`` is CALLER-VERIFIED (all barcodes < 2^32).
+
+        Multi-process safety: the hint may differ across processes of one
+        mesh for the same batch. It selects only the per-shard histogram
+        program, which contains NO collectives (pure ``shard_map`` with
+        local outputs); the collective-bearing ``stage_write``/``merge``
+        programs are hint-independent, so every process launches the same
+        collective sequence regardless of its local hints (exercised by
+        ``tests/test_multiprocess.py``'s divergent-hint cluster leg).
+        """
         u_lo, u_hi, counts, n_seen = _shard_hist_fn(
             self.mesh, self._mesh_key, self.max_uniques_per_shard, bc16
         )(dev_raw, dev_valid)
@@ -799,8 +808,8 @@ def stream_file_histogram(
         capacity=capacity,
         max_uniques_per_shard=max_uniques_per_shard,
     )
-    for dev_raw, dev_valid in stream_file(
-        reader, mesh=mesh, batch_records=batch_records
+    for dev_raw, dev_valid, bc16 in stream_file(
+        reader, mesh=mesh, batch_records=batch_records, with_hint=True
     ):
-        hist.update_placed(dev_raw, dev_valid)
+        hist.update_placed(dev_raw, dev_valid, bc16=bc16)
     return hist.finalize()

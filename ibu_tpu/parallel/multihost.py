@@ -93,58 +93,105 @@ def process_local_placer(local: np.ndarray, mesh: Mesh, spec: P) -> jax.Array:
     )
 
 
+def multihost_rounds(total_records: int, local_cols: int) -> int:
+    """Cohort-wide round count, computed LOCALLY on every process.
+
+    The record partition is deterministic (contiguous, remainder-to-last —
+    the reference rule, ``mmap.rs:297-307``), so every process can compute
+    every other process's range from the file size alone. Replacing the
+    former ``process_allgather`` of per-process round counts with this
+    local max removes one Gloo/DCN sync from every streaming call — it was
+    ~40% of the fixed multi-process overhead in the 2-process scaling
+    stand-in (RESULTS.md round 4).
+    """
+    return max(
+        _cdiv(max(e - s, 0), local_cols)
+        for s, e in partition(total_records, jax.process_count())
+    )
+
+
 def multihost_placed_batches(
     reader: MmapReader,
     mesh: Mesh,
     batch_records: int = STREAM_BATCH_RECORDS,
-) -> Iterator[tuple[jax.Array, jax.Array]]:
+    prefetch: int | None = None,
+    with_hint: bool = False,
+) -> Iterator[tuple]:
     """Yield globally-placed ``(raw, valid)`` pairs of this process's range.
 
     Every process yields the SAME number of pairs (short shards pad with
     empty batches) because downstream collectives are cohort-wide; the
     per-device valid counts mask the padding.
+
+    ``prefetch`` pairs (default :data:`ibu_tpu.io.mmap.STREAM_PREFETCH`)
+    are kept placed-but-unconsumed ahead of the consumer — the multihost
+    analogue of :class:`ibu_tpu.io.stream.DeviceStream`: placement dispatch
+    (mmap fault + host→device copy) for round *k+1…k+prefetch* overlaps the
+    consumer's asynchronous step execution of round *k* instead of
+    serializing after it.
+
+    ``with_hint=True`` yields ``(raw, valid, bc16)`` triples where ``bc16``
+    is this process's data-verified "every barcode of this block fits the
+    lo u32 word" hint (padding rows are zero, so they never veto). The
+    hint may legitimately differ across processes: it only selects the
+    collective-free per-shard histogram program, never a collective one
+    (see :meth:`ibu_tpu.parallel.device.DeviceHistogram.update_placed`).
     """
-    from jax.experimental import multihost_utils
+    from ibu_tpu.io.mmap import STREAM_PREFETCH
+
+    if prefetch is None:
+        prefetch = STREAM_PREFETCH
+    prefetch = max(1, prefetch)
 
     s_local = jax.local_device_count()
     per_dev = _cdiv(batch_records, s_local)
     local_cols = per_dev * s_local  # fixed local block width every round
 
     start, end = local_record_range(reader.len())
-    rounds = int(
-        np.max(
-            np.asarray(
-                multihost_utils.process_allgather(
-                    np.array([_cdiv(max(end - start, 0), local_cols)])
-                )
-            )
-        )
-    )
+    rounds = multihost_rounds(reader.len(), local_cols)
 
-    pos = start
-    for _ in range(rounds):
-        stop = min(pos + local_cols, end)
-        if stop > pos:
-            blk = (
-                np.ascontiguousarray(reader.slice(pos, stop))
-                .view(np.uint32)
-                .reshape(-1, 6)
+    def produce():
+        pos = start
+        for _ in range(rounds):
+            stop = min(pos + local_cols, end)
+            if stop > pos:
+                blk = (
+                    np.ascontiguousarray(reader.slice(pos, stop))
+                    .view(np.uint32)
+                    .reshape(-1, 6)
+                )
+            else:
+                blk = np.zeros((0, 6), dtype=np.uint32)
+            b_local = blk.shape[0]
+            pos = stop
+            bc16 = b_local == 0 or int(blk[:, 1].max()) == 0
+            if b_local < local_cols:
+                blk = np.concatenate(
+                    [blk, np.zeros((local_cols - b_local, 6), dtype=np.uint32)]
+                )
+            valid_local = np.minimum(
+                np.maximum(b_local - per_dev * np.arange(s_local), 0), per_dev
+            ).astype(np.int32)
+            placed = (
+                process_local_placer(blk, mesh, P(AXIS, None)),
+                process_local_placer(valid_local, mesh, P(AXIS)),
             )
-        else:
-            blk = np.zeros((0, 6), dtype=np.uint32)
-        b_local = blk.shape[0]
-        pos = stop
-        if b_local < local_cols:
-            blk = np.concatenate(
-                [blk, np.zeros((local_cols - b_local, 6), dtype=np.uint32)]
-            )
-        valid_local = np.minimum(
-            np.maximum(b_local - per_dev * np.arange(s_local), 0), per_dev
-        ).astype(np.int32)
-        yield (
-            process_local_placer(blk, mesh, P(AXIS, None)),
-            process_local_placer(valid_local, mesh, P(AXIS)),
-        )
+            yield placed + (bc16,) if with_hint else placed
+
+    from collections import deque
+
+    queue: deque = deque()
+    src = produce()
+    exhausted = False
+    while True:
+        while not exhausted and len(queue) < prefetch:
+            try:
+                queue.append(next(src))
+            except StopIteration:
+                exhausted = True
+        if not queue:
+            return
+        yield queue.popleft()
 
 
 def multihost_file_stats(
@@ -199,8 +246,10 @@ def multihost_barcode_histogram(
         max_uniques_per_shard=max_uniques_per_shard,
         placer=process_local_placer,
     )
-    for g_raw, g_valid in multihost_placed_batches(reader, mesh, batch_records):
-        hist.update_placed(g_raw, g_valid)
+    for g_raw, g_valid, bc16 in multihost_placed_batches(
+        reader, mesh, batch_records, with_hint=True
+    ):
+        hist.update_placed(g_raw, g_valid, bc16=bc16)
     return hist.finalize()
 
 

@@ -44,6 +44,18 @@ WORKER = textwrap.dedent(
     )
     print("HIST", len(hist), sum(hist.values()),
           hist.get(0, 0), hist.get(99, 0))
+    # divergent-hint histogram: low ranks' ranges hold only lo-word
+    # barcodes (bc16=True program) while the last rank's range holds
+    # >=2^32 barcodes (bc16=False program) — proves per-process hint
+    # divergence is safe (the hinted program has no collectives)
+    path2 = sys.argv[5]
+    hist2 = multihost_barcode_histogram(
+        path2, batch_records=4096, capacity=1 << 10,
+        max_uniques_per_shard=1 << 9,
+    )
+    big = (1 << 40) | 49
+    print("HIST2", len(hist2), sum(hist2.values()),
+          hist2.get(0, 0), hist2.get(big, 0))
     import jax.numpy as jnp
     from ibu_tpu.parallel.device import MapReduce
     from ibu_tpu.parallel.multihost import multihost_map_reduce
@@ -81,12 +93,22 @@ def test_multihost_stats_cluster(nprocs, tmp_path):
             make_records(i % np.uint64(100), i * np.uint64(2), i * np.uint64(3))
         )
 
+    # divergent-hint file: first half lo-word barcodes, second half >=2^32
+    n2 = 50_000
+    j = np.arange(n2, dtype=np.uint64)
+    bc2 = j % np.uint64(50)
+    bc2[n2 // 2:] |= np.uint64(1 << 40)
+    path2 = str(tmp_path / "mh_hint.ibu")
+    with Writer.from_path(path2, Header.new(32, 12)) as w:
+        w.write_batch(make_records(bc2, j, j))
+
     worker_py = tmp_path / "worker.py"
     worker_py.write_text(WORKER)
     port = str(_free_port())
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker_py), str(r), str(nprocs), port, path],
+            [sys.executable, str(worker_py), str(r), str(nprocs), port, path,
+             path2],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
@@ -100,6 +122,8 @@ def test_multihost_stats_cluster(nprocs, tmp_path):
     # barcodes cycle 0..99 over 100_001 records: barcode 0 appears 1001
     # times, the rest 1000
     want_hist = f"HIST 100 {n} 1001 1000"
+    # divergent-hint file: 50 lo + 50 hi barcodes, each 500x
+    want_hist2 = "HIST2 100 50000 500 500"
     # custom engine: max idx_lo across the whole file = 3*(n-1) (cross-
     # process: the max record lives in the LAST process's range)
     want_mapred = f"MAPRED {3*(n-1)}"
@@ -107,6 +131,9 @@ def test_multihost_stats_cluster(nprocs, tmp_path):
         assert procs[r].returncode == 0, f"rank {r} failed:\n{err[-3000:]}"
         assert want in out, f"rank {r} stats mismatch:\n{out}\n{err[-1500:]}"
         assert want_hist in out, f"rank {r} hist mismatch:\n{out}\n{err[-1500:]}"
+        assert want_hist2 in out, (
+            f"rank {r} divergent-hint hist mismatch:\n{out}\n{err[-1500:]}"
+        )
         assert want_mapred in out, f"rank {r} mapred mismatch:\n{out}\n{err[-1500:]}"
 
 
@@ -177,8 +204,9 @@ def test_multihost_scaling_efficiency(tmp_path, capsys):
     pinned 1-process baseline over the same file — each process on its own
     physical core with one virtual device, so the ratio measures the
     multihost engine's scaling (partitioning + placement + gathered merge),
-    not XLA's internal thread pool. Asserts a loose lower bound (0.5) to
-    stay robust on shared CI; the measured value is printed for RESULTS.md.
+    not XLA's internal thread pool. Gate: >=0.75 (BASELINE.md targets 0.85
+    on real pod hardware; the stand-in keeps a margin for shared-CI noise).
+    The measured value is printed for RESULTS.md.
     """
     if os.cpu_count() < 2:
         pytest.skip("needs >=2 physical cores")
@@ -210,9 +238,9 @@ def test_multihost_scaling_efficiency(tmp_path, capsys):
                 f"efficiency {eff:.3f}",
                 flush=True,
             )
-        if best >= 0.5:
+        if best >= 0.75:
             break
-    assert best >= 0.5, (
+    assert best >= 0.75, (
         f"2-process efficiency {best:.3f} (best of 3 attempts) below the "
-        f"0.5 lower-bound guard"
+        f"0.75 lower-bound guard"
     )

@@ -45,7 +45,34 @@ STREAM_PREFETCH: int = int(os.environ.get("IBU_STREAM_PREFETCH", 4))
 
 
 class MmapReader:
-    """Zero-copy random-access reader over a memory-mapped IBU file."""
+    """Zero-copy random-access reader over a memory-mapped IBU file.
+
+    Example — the reference's doctest pattern (``mmap.rs:44-98``), including
+    the exact ``InvalidIndex`` slice-bounds payload (``mmap.rs:253-270``):
+
+    >>> import os, tempfile
+    >>> import numpy as np
+    >>> from ibu_tpu import Header, MmapReader, Writer
+    >>> from ibu_tpu.constructs.record import RECORD_DTYPE
+    >>> path = os.path.join(tempfile.mkdtemp(), "doc.ibu")
+    >>> with Writer.from_path(path, Header.new(16, 12)) as w:
+    ...     w.write_batch(
+    ...         np.array([(1, 2, 3), (4, 5, 6), (7, 8, 9)], dtype=RECORD_DTYPE)
+    ...     )
+    >>> m = MmapReader(path)
+    >>> m.len()
+    3
+    >>> [int(b) for b in m.slice(1, 3)["barcode"]]  # zero-copy view
+    [4, 7]
+    >>> try:
+    ...     m.slice(0, 9)
+    ... except Exception as e:
+    ...     print(e)
+    Invalid index (9) - Must be less than 3
+    >>> m.clone().len()  # cheap clone sharing the same mapping
+    3
+    >>> os.remove(path)
+    """
 
     def __init__(self, path: str):
         try:

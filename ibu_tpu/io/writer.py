@@ -37,7 +37,31 @@ DEFAULT_BUFFER_SIZE: int = DEFAULT_BUFFER_RECORDS * RECORD_SIZE
 
 
 class Writer:
-    """Buffered writer of IBU record streams."""
+    """Buffered writer of IBU record streams.
+
+    Example — the reference's doctest pattern (``writer.rs:35-81``):
+
+    >>> import numpy as np
+    >>> from ibu_tpu import Header, Record, Writer
+    >>> from ibu_tpu.constructs.record import RECORD_DTYPE
+    >>> w = Writer.in_memory(Header.new(16, 12))
+    >>> w.write_record(Record(barcode=1, umi=2, index=3))
+    >>> w.write_batch(np.array([(4, 5, 6)], dtype=RECORD_DTYPE))
+    >>> w.records_written
+    2
+    >>> w.finish()
+    >>> len(w.inner.getvalue())  # 32-byte header + 2 * 24-byte records
+    80
+
+    Shard-and-merge via headless writers + :meth:`ingest`
+    (``writer.rs:169-179,477-482``):
+
+    >>> shard = Writer.in_memory()  # headless: no 32-byte header
+    >>> shard.write_record(Record(barcode=7, umi=8, index=9))
+    >>> w.ingest(shard)             # splice shard bytes, clear the shard
+    >>> (w.records_written, len(shard.inner.getvalue()))
+    (3, 0)
+    """
 
     def __init__(
         self,
@@ -282,8 +306,10 @@ class Writer:
         only flushes (``writer.rs:519-523``).
         """
         self.finish()
-        if self._inner is not sys.stdout.buffer and not isinstance(
-            self._inner, io.BytesIO
+        # getattr: sys.stdout may be swapped for a bufferless wrapper
+        # (doctest, pytest capture, notebooks) — close must not crash there
+        if self._inner is not getattr(sys.stdout, "buffer", None) and not (
+            isinstance(self._inner, io.BytesIO)
         ):
             self._inner.close()
 

@@ -30,6 +30,38 @@ class ParallelProcessor:
     ``copy``), mirroring the reference's ``Send + Clone`` bound. Thread-local
     accumulation happens in ``process_record``; merging into shared state
     happens in ``on_batch_complete``.
+
+    Example — the reference's doctest pattern (``parallel.rs:47-99``):
+    thread-local accumulation with a shared merge target (its
+    ``Arc<Mutex<…>>`` becomes a plain shared list here — ``list.append``
+    is atomic under the GIL):
+
+    >>> import os, tempfile
+    >>> import numpy as np
+    >>> from ibu_tpu import Header, MmapReader, Writer
+    >>> from ibu_tpu.constructs.record import RECORD_DTYPE
+    >>> from ibu_tpu.parallel import ParallelProcessor
+    >>> class SumBarcodes(ParallelProcessor):
+    ...     def __init__(self, totals):
+    ...         self.local = 0       # thread-local accumulator
+    ...         self.totals = totals  # shared merge target
+    ...     def process_record(self, record):
+    ...         self.local += record.barcode
+    ...     def on_batch_complete(self):  # the merge point
+    ...         self.totals.append(self.local)
+    ...         self.local = 0
+    ...     def clone(self):  # duplicate local state, share the target
+    ...         return SumBarcodes(self.totals)
+    >>> path = os.path.join(tempfile.mkdtemp(), "doc.ibu")
+    >>> recs = np.zeros(100, dtype=RECORD_DTYPE)
+    >>> recs["barcode"] = np.arange(100)
+    >>> with Writer.from_path(path, Header.new(16, 12)) as w:
+    ...     w.write_batch(recs)
+    >>> processor = SumBarcodes([])
+    >>> MmapReader(path).process_parallel(processor, num_threads=2)
+    >>> sum(processor.totals)  # == 0 + 1 + ... + 99
+    4950
+    >>> os.remove(path)
     """
 
     def process_record(self, record: Record) -> None:

@@ -8,8 +8,12 @@ import pytest
 import ibu_tpu.constructs.header
 import ibu_tpu.constructs.record
 import ibu_tpu.io.compression
+import ibu_tpu.io.mmap
+import ibu_tpu.io.reader
+import ibu_tpu.io.writer
 import ibu_tpu.ops.codec
 import ibu_tpu.ops.u64
+import ibu_tpu.parallel.processor
 
 
 @pytest.mark.parametrize(
@@ -18,8 +22,12 @@ import ibu_tpu.ops.u64
         ibu_tpu.constructs.header,
         ibu_tpu.constructs.record,
         ibu_tpu.io.compression,
+        ibu_tpu.io.mmap,
+        ibu_tpu.io.reader,
+        ibu_tpu.io.writer,
         ibu_tpu.ops.codec,
         ibu_tpu.ops.u64,
+        ibu_tpu.parallel.processor,
     ],
 )
 def test_module_doctests(module):

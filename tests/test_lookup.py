@@ -55,6 +55,30 @@ class TestLookupBarcodes:
         epath, _ = _sorted_file(tmp_path, [], name="e.ibu")
         assert len(lookup_barcodes(epath, [1])) == 0
 
+    def test_batch_regime_matches_isin_oracle(self, tmp_path):
+        # >= LOOKUP_BATCH_MIN distinct queries takes the vectorized
+        # searchsorted path; results must match the bisect path's oracle
+        from ibu_tpu.pipelines import LOOKUP_BATCH_MIN
+
+        rng = np.random.default_rng(11)
+        bc = rng.integers(0, 2_000, 50_000).astype(np.uint64)
+        path, recs = _sorted_file(tmp_path, bc)
+        queries = np.unique(
+            rng.integers(0, 3_000, 2 * LOOKUP_BATCH_MIN)
+        ).astype(np.uint64)  # ~1/3 absent
+        assert len(queries) >= LOOKUP_BATCH_MIN
+        got = lookup_barcodes(path, queries)
+        want = recs[np.isin(recs["barcode"], queries)]
+        np.testing.assert_array_equal(got, want)
+
+    def test_batch_regime_all_absent(self, tmp_path):
+        from ibu_tpu.pipelines import LOOKUP_BATCH_MIN
+
+        path, _ = _sorted_file(tmp_path, [1, 2, 3])
+        queries = np.arange(1000, 1000 + LOOKUP_BATCH_MIN, dtype=np.uint64)
+        got = lookup_barcodes(path, queries)
+        assert got.dtype == RECORD_DTYPE and len(got) == 0
+
     def test_unsorted_file_rejected(self, tmp_path):
         recs = make_records(
             np.array([9, 1], np.uint64),

@@ -37,6 +37,24 @@ class TestBatchPipelines:
         records = encode_batch(bc, umi, np.arange(500, dtype=np.uint64))
         assert np.array_equal(sort_batch(records), sort_records(records))
 
+    def test_decode_tsv_block_matches_format_oracle(self):
+        # the vectorized TSV assembler vs the per-record f-string it
+        # replaced, across variable index widths incl. 0 and u64 max
+        from ibu_tpu.pipelines import decode_tsv_block
+
+        bc = random_seqs(7, 16, 5)
+        umi = random_seqs(7, 12, 6)
+        idx = np.array(
+            [0, 1, 9, 10, 12345, 10**19, 2**64 - 1], dtype=np.uint64
+        )
+        got = decode_tsv_block(bc, umi, idx)
+        want = "".join(
+            f"{b.tobytes().decode()}\t{u.tobytes().decode()}\t{int(i)}\n"
+            for b, u, i in zip(bc, umi, idx)
+        ).encode()
+        assert got == want
+        assert decode_tsv_block(bc[:0], umi[:0], idx[:0]) == b""
+
 
 class TestFilePipelines:
     def test_encode_sorted_file_roundtrip(self, tmp_path):

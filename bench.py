@@ -219,6 +219,56 @@ def bench_roundtrip(
     }
 
 
+def bench_stream_file_stats(n: int) -> dict:
+    """End-to-end streamed file→device stats throughput (VERDICT r3 #4).
+
+    Measures the flagship streaming engine — mmap → prefetched placement →
+    sharded per-batch stats → merged result — over a REAL on-disk file, so
+    transport and dispatch are in the loop (the codec bench above is
+    device-resident only; an engine regression would be invisible to it).
+    The result is verified against a host checksum oracle every run.
+    """
+    import os
+
+    from ibu_tpu.constructs.record import make_records
+    from ibu_tpu.io.mmap import MmapReader
+    from ibu_tpu.io.writer import Writer
+    from ibu_tpu.constructs.header import Header
+    from ibu_tpu.ops.stats import checksum_records_np
+    from ibu_tpu.parallel.device import make_mesh, stream_file_stats
+
+    path = f"/tmp/ibu_bench_stream_{n}.ibu"
+    if not os.path.exists(path) or os.path.getsize(path) != 32 + 24 * n:
+        rng = np.random.default_rng(7)
+        recs = make_records(
+            rng.integers(0, 1 << 32, n).astype(np.uint64),
+            rng.integers(0, 1 << 24, n).astype(np.uint64),
+            np.arange(n, dtype=np.uint64),
+        )
+        with Writer.from_path(path, Header.new(16, 12)) as w:
+            w.write_batch(recs)
+        log(f"stream bench file created: {path} ({24 * n / 1e6:.0f} MB)")
+    reader = MmapReader(path)
+    mesh = make_mesh()
+    got = stream_file_stats(reader, mesh=mesh)  # warm-up: compile + run
+    want = checksum_records_np(np.asarray(reader.records))
+    assert got["count"] == n, (got["count"], n)
+    assert (got["barcode_sum"], got["umi_sum"], got["index_sum"]) == want, (
+        "stream_file_stats diverged from the host oracle"
+    )
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        stream_file_stats(reader, mesh=mesh)
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "records": n,
+        "seconds": round(best, 4),
+        "mrec_s": round(n / best / 1e6, 1),
+        "gbps": round(n * 24 / best / 1e9, 3),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--records", type=int, default=1 << 24)
@@ -226,6 +276,9 @@ def main() -> None:
     ap.add_argument("--umi-len", type=int, default=12)
     ap.add_argument("--tile-n", type=int, default=None)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--stream-records", type=int, default=None,
+                    help="records for the end-to-end stream_file_stats leg "
+                         "(default: --records; 0 disables)")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace into DIR")
     ap.add_argument("--no-validate", action="store_true",
@@ -274,17 +327,32 @@ def main() -> None:
         f"{r['records_per_s']/1e9:.3f} G records/s, {r['gbps']:.1f} GB/s "
         f"({r['bytes_per_record']} B/record)"
     )
-    print(
-        json.dumps(
-            {
-                "metric": "pack+unpack roundtrip throughput (device-resident, bc16/umi12)",
-                "value": round(r["gbps"], 2),
-                "unit": "GB/s",
-                "vs_baseline": round(r["gbps"] / BASELINE_GBPS, 3),
-                "validate": validate_summary,
-            }
-        )
+
+    # end-to-end streaming engine leg (file → mesh → merged stats): tracked
+    # per round alongside the codec number so engine/transport regressions
+    # are visible in the bench artifact, not just kernel regressions
+    stream_n = (
+        args.records if args.stream_records is None else args.stream_records
     )
+    stream = None
+    if stream_n:
+        stream = bench_stream_file_stats(stream_n)
+        log(
+            f"stream_file_stats end-to-end: {stream['records']} records in "
+            f"{stream['seconds']} s = {stream['mrec_s']} Mrec/s "
+            f"({stream['gbps']} GB/s of wire data), oracle-verified"
+        )
+
+    payload = {
+        "metric": "pack+unpack roundtrip throughput (device-resident, bc16/umi12)",
+        "value": round(r["gbps"], 2),
+        "unit": "GB/s",
+        "vs_baseline": round(r["gbps"] / BASELINE_GBPS, 3),
+        "validate": validate_summary,
+    }
+    if stream is not None:
+        payload["stream"] = stream
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -122,18 +122,23 @@ def cmd_sort(args) -> int:
     from ibu_tpu.pipelines import _require_plain
 
     _require_plain(args.input, "sort")
-    if args.engine == "device":
+    if args.engine in ("device", "mesh"):
         if args.chunk_records or args.threads:
             print("--chunk-records/--threads only apply to --engine native "
-                  "(the device sort is in-memory)", file=sys.stderr)
+                  "(the device sorts are in-memory)", file=sys.stderr)
             return 2
         from ibu_tpu.utils import apply_platform_env
 
         apply_platform_env()
-        from ibu_tpu.pipelines import sort_file_device
+        if args.engine == "mesh":
+            from ibu_tpu.parallel.sort import sort_file_mesh
 
-        sort_file_device(args.input, args.output)
-        print(f"sorted {args.input} -> {args.output} (device)")
+            sort_file_mesh(args.input, args.output)
+        else:
+            from ibu_tpu.pipelines import sort_file_device
+
+            sort_file_device(args.input, args.output)
+        print(f"sorted {args.input} -> {args.output} ({args.engine})")
         return 0
     from ibu_tpu import native
 
@@ -507,9 +512,12 @@ def main(argv=None) -> int:
                                     "sort, or in-memory device sort)")
     p.add_argument("input")
     p.add_argument("output")
-    p.add_argument("--engine", choices=("native", "device"), default="native",
+    p.add_argument("--engine", choices=("native", "device", "mesh"),
+                   default="native",
                    help="native: out-of-core external merge sort; device: "
-                        "in-memory sort on the jax device (header-hinted)")
+                        "in-memory sort on ONE jax device (header-hinted); "
+                        "mesh: distributed sample sort over the whole "
+                        "device mesh (files up to the mesh's total HBM)")
     p.add_argument("--chunk-records", type=int, default=0)
     p.add_argument("--threads", type=int, default=0)
     p.set_defaults(fn=cmd_sort)

@@ -383,6 +383,65 @@ def _sparse_group_sum(
     return unique_lo, unique_hi, counts, n_distinct
 
 
+def _to_host(x) -> np.ndarray:
+    """Replicated/addressable device array → host numpy (multi-process
+    safe: a non-fully-addressable replicated array reads its local shard)."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    return np.asarray(x.addressable_data(0))  # replicated
+
+
+def _sparse_group_sum_spill(
+    key_lo: jax.Array,
+    key_hi: jax.Array,
+    weights: jax.Array,
+    capacity: int,
+    ovf_cap: int,
+):
+    """:func:`_sparse_group_sum` with an overflow lane instead of drops.
+
+    Groups the sparse entries exactly like ``_sparse_group_sum`` but
+    segments into ``capacity + ovf_cap`` slots: the first ``capacity``
+    distinct keys (the smallest, by the sort order) form the table; the
+    next ``ovf_cap`` land in the overflow arrays for the host to absorb.
+    Exact whenever ``ovf_cap >= len(entries) - capacity`` (distinct groups
+    can never exceed entry count), which every caller guarantees
+    statically. Returns ``(lo, hi, cnt, n_distinct, ovf_lo, ovf_hi,
+    ovf_cnt, ovf_n)`` where ``ovf_n = max(n_distinct - capacity, 0)`` is
+    the number of live overflow slots.
+    """
+    invalid = (weights == 0).astype(jnp.uint32)
+    s_inv, s_hi, s_lo, s_w = jax.lax.sort(
+        (invalid, key_hi, key_lo, weights), num_keys=3
+    )
+    first = jnp.concatenate(
+        [
+            jnp.ones((1,), dtype=jnp.bool_),
+            (s_inv[1:] != s_inv[:-1])
+            | (s_hi[1:] != s_hi[:-1])
+            | (s_lo[1:] != s_lo[:-1]),
+        ]
+    )
+    seg_ids = jnp.cumsum(first.astype(jnp.int32)) - 1
+    nseg = capacity + ovf_cap
+    counts = jax.ops.segment_sum(s_w, seg_ids, num_segments=nseg)
+    zeros = jnp.zeros((nseg,), jnp.uint32)
+    unique_lo = zeros.at[seg_ids].set(s_lo, mode="drop")
+    unique_hi = zeros.at[seg_ids].set(s_hi, mode="drop")
+    n_distinct = jnp.sum(first & (s_inv == 0), dtype=jnp.int32)
+    ovf_n = jnp.maximum(n_distinct - capacity, 0)
+    return (
+        unique_lo[:capacity],
+        unique_hi[:capacity],
+        counts[:capacity],
+        n_distinct,
+        unique_lo[capacity:],
+        unique_hi[capacity:],
+        counts[capacity:],
+        ovf_n,
+    )
+
+
 def _masked_histogram_scatter(raw, n_valid, max_uniques: int,
                               bc16: bool = False):
     """Scatter-based per-shard histogram (the r1/r2 production form; kept
@@ -542,16 +601,22 @@ _HIST_FN_CACHE_MAX = 16
 
 
 def _histogram_fns(mesh, mesh_key, capacity, max_uniques_per_shard,
-                   merge_every):
+                   merge_every, spill: bool = False):
     """Build (or fetch cached) the per-shard histogram, stage-write, and
     global-merge jits.
 
     A fresh jit object per DeviceHistogram would recompile on every
     construction (same failure mode as MapReduce.compile_step); caching on
-    (mesh identity, capacity, per-shard cap, stage depth) makes repeated
-    histogram runs pay compilation once per process.
+    (mesh identity, capacity, per-shard cap, stage depth, spill) makes
+    repeated histogram runs pay compilation once per process.
+
+    ``spill=True`` builds the overflow-lane merge: instead of silently
+    dropping distinct keys beyond ``capacity``, the merge group-sums them
+    into a fixed ``stage_total``-sized overflow buffer
+    (:func:`_sparse_group_sum_spill`) that the host absorbs — the same
+    collective sequence on every process either way.
     """
-    key = (mesh_key, capacity, max_uniques_per_shard, merge_every)
+    key = (mesh_key, capacity, max_uniques_per_shard, merge_every, spill)
     if key in _HIST_FN_CACHE:
         return _HIST_FN_CACHE[key]
 
@@ -581,19 +646,16 @@ def _histogram_fns(mesh, mesh_key, capacity, max_uniques_per_shard,
             "shard_seen": jnp.maximum(state["shard_seen"], jnp.max(b_seen)),
         }
 
-    @functools.partial(
-        jax.jit, out_shardings=state_shardings, donate_argnums=(0,)
-    )
-    def merge(state):
+    def _merge_inputs(state):
         # zero-count staged entries (unused slots / empty segments) are
         # invalid by _sparse_group_sum's weight convention, so merging the
         # full stage regardless of fill level is exact.
         lo = jnp.concatenate([state["lo"], state["st_lo"].reshape(-1)])
         hi = jnp.concatenate([state["hi"], state["st_hi"].reshape(-1)])
         cnt = jnp.concatenate([state["cnt"], state["st_cnt"].reshape(-1)])
-        new_lo, new_hi, new_cnt, n_distinct = _sparse_group_sum(
-            lo, hi, cnt, capacity
-        )
+        return lo, hi, cnt
+
+    def _new_state(state, new_lo, new_hi, new_cnt, n_distinct):
         return {
             "lo": new_lo,
             "hi": new_hi,
@@ -604,6 +666,42 @@ def _histogram_fns(mesh, mesh_key, capacity, max_uniques_per_shard,
             "st_hi": jnp.zeros_like(state["st_hi"]),
             "st_cnt": jnp.zeros_like(state["st_cnt"]),
         }
+
+    if spill:
+        # overflow lane sized to the staged entry count: distinct groups
+        # beyond the kept `capacity` can never exceed the number of
+        # non-table input entries, so this is exact — never drops
+        stage_total = merge_every * mesh.devices.size * max_uniques_per_shard
+
+        @functools.partial(
+            jax.jit,
+            out_shardings=(
+                state_shardings,
+                replicated, replicated, replicated, replicated,
+            ),
+            donate_argnums=(0,),
+        )
+        def merge(state):
+            lo, hi, cnt = _merge_inputs(state)
+            (new_lo, new_hi, new_cnt, n_distinct,
+             ovf_lo, ovf_hi, ovf_cnt, ovf_n) = _sparse_group_sum_spill(
+                lo, hi, cnt, capacity, stage_total
+            )
+            return (
+                _new_state(state, new_lo, new_hi, new_cnt, n_distinct),
+                ovf_n, ovf_lo, ovf_hi, ovf_cnt,
+            )
+    else:
+
+        @functools.partial(
+            jax.jit, out_shardings=state_shardings, donate_argnums=(0,)
+        )
+        def merge(state):
+            lo, hi, cnt = _merge_inputs(state)
+            new_lo, new_hi, new_cnt, n_distinct = _sparse_group_sum(
+                lo, hi, cnt, capacity
+            )
+            return _new_state(state, new_lo, new_hi, new_cnt, n_distinct)
 
     if len(_HIST_FN_CACHE) >= _HIST_FN_CACHE_MAX:
         _HIST_FN_CACHE.pop(next(iter(_HIST_FN_CACHE)))
@@ -660,10 +758,18 @@ class DeviceHistogram:
 
     No host sync happens inside the batch loop, so update dispatch
     pipelines with the device work. Capacity overflow (more than
-    ``capacity`` distinct barcodes, or ``max_uniques_per_shard`` in one
-    shard-batch) is tracked on device and raised at :meth:`finalize`.
-    Counts are uint32 per barcode (≥4.2e9 records of ONE barcode would
-    wrap; total record count is unbounded).
+    ``capacity`` distinct barcodes in the table): with ``spill=True``
+    (default) the merge routes the overflowed groups — the LARGEST keys,
+    exactly group-summed into a fixed overflow lane — to a host spill
+    dict, drained one merge-cycle later (by which time that merge has
+    long completed, so the scalar read stalls nothing); :meth:`finalize`
+    folds the spill back in, making the result exact on barcode spaces of
+    ANY size. ``spill=False`` restores the strict behavior: overflow is
+    tracked on device and raised at :meth:`finalize`. A shard-batch with
+    more than ``max_uniques_per_shard`` distinct barcodes remains a hard
+    error either way (staging capacity — shrink batches or raise the
+    cap). Counts are uint32 per barcode (≥4.2e9 records of ONE barcode
+    would wrap; total record count is unbounded).
     """
 
     def __init__(
@@ -673,6 +779,7 @@ class DeviceHistogram:
         max_uniques_per_shard: int = 1 << 16,
         placer=default_placer,
         merge_every: int = 8,
+        spill: bool = True,
     ):
         if merge_every < 1:
             raise ValueError(f"merge_every must be >= 1, got {merge_every}")
@@ -680,15 +787,19 @@ class DeviceHistogram:
         self.capacity = capacity
         self.max_uniques_per_shard = max_uniques_per_shard
         self.merge_every = merge_every
+        self.spill = spill
         self._placer = placer
         self._filled = 0  # staged batches since the last merge
+        self._spilled: dict[int, int] = {}  # host-absorbed overflow
+        self._pending = None  # previous merge's (ovf_n, lo, hi, cnt)
         mesh_key = (
             self.mesh.axis_names,
             tuple(d.id for d in self.mesh.devices.flat),
         )
         self._mesh_key = mesh_key
         self._stage_write, self._merge = _histogram_fns(
-            self.mesh, mesh_key, capacity, max_uniques_per_shard, merge_every
+            self.mesh, mesh_key, capacity, max_uniques_per_shard,
+            merge_every, spill=spill,
         )
         replicated = NamedSharding(self.mesh, P())
         staged = NamedSharding(self.mesh, P(None, AXIS))
@@ -740,25 +851,44 @@ class DeviceHistogram:
         )
         self._filled += 1
         if self._filled >= self.merge_every:
+            self._run_merge()
+
+    def _run_merge(self) -> None:
+        if self.spill:
+            # drain the PREVIOUS cycle's overflow first: its merge has had
+            # merge_every batches of device work to complete, so reading
+            # its scalar now costs no pipeline stall
+            self._drain_pending()
+            self._state, ovf_n, o_lo, o_hi, o_cnt = self._merge(self._state)
+            self._pending = (ovf_n, o_lo, o_hi, o_cnt)
+        else:
             self._state = self._merge(self._state)
-            self._filled = 0
+        self._filled = 0
+
+    def _drain_pending(self) -> None:
+        if self._pending is None:
+            return
+        ovf_n, o_lo, o_hi, o_cnt = self._pending
+        self._pending = None
+        if int(_to_host(ovf_n)) == 0:
+            return
+        lo, hi, cnt = _to_host(o_lo), _to_host(o_hi), _to_host(o_cnt)
+        nz = cnt != 0
+        keys = lo[nz].astype(np.uint64) | (hi[nz].astype(np.uint64) << 32)
+        for k, c in zip(keys.tolist(), cnt[nz].astype(np.int64).tolist()):
+            self._spilled[k] = self._spilled.get(k, 0) + c
 
     def finalize(self) -> dict[int, int]:
         """Flush the stage, then one device→host transfer; returns
-        ``{barcode: count}``."""
+        ``{barcode: count}`` (device table + any host-spilled overflow)."""
         if self._filled:
-            self._state = self._merge(self._state)
-            self._filled = 0
-
-        def to_host(x):
-            if x.is_fully_addressable:
-                return np.asarray(x)
-            return np.asarray(x.addressable_data(0))  # replicated
+            self._run_merge()
+        self._drain_pending()
 
         # transfer only the table keys — the (just-zeroed) staging buffers
         # are merge_every × S·max_uniques u32 each and are never read here
         st = {
-            k: to_host(self._state[k])
+            k: _to_host(self._state[k])
             for k in ("lo", "hi", "cnt", "n", "shard_seen")
         }
         if int(st["shard_seen"]) > self.max_uniques_per_shard:
@@ -767,19 +897,24 @@ class DeviceHistogram:
                 f"the max_uniques_per_shard={self.max_uniques_per_shard} "
                 "capacity; raise the cap or use smaller batches"
             )
-        if int(st["n"]) > self.capacity:
+        if not self.spill and int(st["n"]) > self.capacity:
             raise ValueError(
                 f"{int(st['n'])} distinct barcodes exceed the device table "
-                f"capacity={self.capacity}; raise capacity or use "
-                "sharded_barcode_histogram (host merge, unbounded)"
+                f"capacity={self.capacity}; raise capacity, enable "
+                "spill=True, or use sharded_barcode_histogram (host merge)"
             )
         nz = st["cnt"] != 0
         keys = st["lo"][nz].astype(np.uint64) | (
             st["hi"][nz].astype(np.uint64) << 32
         )
-        return dict(
+        out = dict(
             zip(keys.tolist(), st["cnt"][nz].astype(np.int64).tolist())
         )
+        # fold the host-spilled overflow back in; a spilled key can have
+        # re-entered the table later, so counts ADD
+        for k, c in self._spilled.items():
+            out[k] = out.get(k, 0) + c
+        return out
 
     def run(self, batches: Iterator[np.ndarray]) -> dict[int, int]:
         """Fold all ``batches`` and finalize."""
@@ -794,11 +929,13 @@ def stream_file_histogram(
     batch_records: int = STREAM_BATCH_RECORDS,
     capacity: int = 1 << 20,
     max_uniques_per_shard: int = 1 << 16,
+    spill: bool = True,
 ) -> dict[int, int]:
     """Per-barcode counts of a whole file, streamed over the mesh with
     prefetch — the histogram sibling of :func:`stream_file_stats`. The
     running table stays on device (:class:`DeviceHistogram`), so the only
-    host work in the loop is feeding zero-copy mmap views.
+    host work in the loop is feeding zero-copy mmap views. Barcode spaces
+    larger than ``capacity`` spill exactly to the host (``spill``).
     """
     from ibu_tpu.io.stream import stream_file
 
@@ -807,6 +944,7 @@ def stream_file_histogram(
         mesh=mesh,
         capacity=capacity,
         max_uniques_per_shard=max_uniques_per_shard,
+        spill=spill,
     )
     for dev_raw, dev_valid, bc16 in stream_file(
         reader, mesh=mesh, batch_records=batch_records, with_hint=True

@@ -218,14 +218,16 @@ def multihost_barcode_histogram(
     batch_records: int = STREAM_BATCH_RECORDS,
     capacity: int = 1 << 20,
     max_uniques_per_shard: int = 1 << 16,
+    spill: bool = True,
 ) -> dict[int, int]:
     """Per-barcode counts across all hosts of a pod slice.
 
     Every process streams its own record range; per-shard sparse
     histograms merge on device each batch (``DeviceHistogram``), so the
     cross-shard union rides ICI/DCN collectives, and the single final
-    table transfers once per host. Requires a bounded barcode space
-    (≤ ``capacity`` distinct values).
+    table transfers once per host. Barcode spaces larger than
+    ``capacity`` spill exactly to the host (``spill``; the spill drain is
+    replicated, so every process converges on the same dict).
     """
     from ibu_tpu.parallel.device import DeviceHistogram
 
@@ -236,6 +238,7 @@ def multihost_barcode_histogram(
             mesh=mesh,
             capacity=capacity,
             max_uniques_per_shard=max_uniques_per_shard,
+            spill=spill,
         )
         return hist.run(local_record_batches(reader, batch_records))
 
@@ -245,6 +248,7 @@ def multihost_barcode_histogram(
         capacity=capacity,
         max_uniques_per_shard=max_uniques_per_shard,
         placer=process_local_placer,
+        spill=spill,
     )
     for g_raw, g_valid, bc16 in multihost_placed_batches(
         reader, mesh, batch_records, with_hint=True

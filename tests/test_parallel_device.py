@@ -323,13 +323,83 @@ class TestDeviceHistogram:
             DeviceHistogram(capacity=64, merge_every=0)
 
     def test_capacity_overflow_raises_at_finalize(self):
+        # strict mode (spill=False): table overflow is a terminal error
         from ibu_tpu.parallel.device import DeviceHistogram
 
         records = random_records(4096, seed=23)  # ~4096 unique barcodes
-        h = DeviceHistogram(capacity=128, max_uniques_per_shard=4096)
+        h = DeviceHistogram(
+            capacity=128, max_uniques_per_shard=4096, spill=False
+        )
         h.update(soa_from_records(records))
         with pytest.raises(ValueError, match="device table"):
             h.finalize()
+
+    def test_spill_exact_on_4x_capacity_space(self):
+        # default (spill=True): a barcode space 4x the device table is
+        # exact — overflowed groups drain to the host and fold back in
+        from ibu_tpu.parallel.device import DeviceHistogram
+
+        rng = np.random.default_rng(41)
+        capacity = 128
+        parts = [
+            make_records(
+                rng.integers(0, 4 * capacity, 700, dtype=np.uint64),
+                rng.integers(0, 1 << 63, 700, dtype=np.uint64),
+                np.arange(700, dtype=np.uint64),
+            )
+            for _ in range(7)
+        ]
+        h = DeviceHistogram(
+            capacity=capacity, max_uniques_per_shard=1024, merge_every=2
+        )
+        got = h.run(iter(parts))
+        assert got == barcode_histogram_np(np.concatenate(parts))
+        assert h._spilled  # the spill path actually engaged
+
+    def test_spill_respilled_keys_sum_exactly(self):
+        # a key that overflows in one merge cycle and re-enters the table
+        # in a later one must end with the SUM of both contributions
+        from ibu_tpu.parallel.device import DeviceHistogram
+
+        capacity = 4
+        # cycle 1: keys 0..15 (12 overflow past capacity 4)
+        # cycle 2: keys 8..23 — 8..15 already spilled once, appear again
+        a = make_records(
+            np.arange(16, dtype=np.uint64),
+            np.zeros(16, np.uint64),
+            np.zeros(16, np.uint64),
+        )
+        b = make_records(
+            np.arange(8, 24, dtype=np.uint64),
+            np.zeros(16, np.uint64),
+            np.zeros(16, np.uint64),
+        )
+        h = DeviceHistogram(
+            capacity=capacity, max_uniques_per_shard=64, merge_every=1
+        )
+        got = h.run(iter([a, b]))
+        assert got == barcode_histogram_np(np.concatenate([a, b]))
+
+    def test_spill_stream_file_histogram(self, tmp_ibu_file):
+        # VERDICT r3 #7 done-criterion: ONE streaming call over a barcode
+        # space 4x the device capacity, oracle-exact
+        from ibu_tpu.parallel.device import stream_file_histogram
+
+        rng = np.random.default_rng(42)
+        capacity = 256
+        records = make_records(
+            rng.integers(0, 4 * capacity, 50_000, dtype=np.uint64),
+            rng.integers(0, 1 << 63, 50_000, dtype=np.uint64),
+            np.arange(50_000, dtype=np.uint64),
+        )
+        path = tmp_ibu_file(records)
+        got = stream_file_histogram(
+            MmapReader(path),
+            batch_records=4096,
+            capacity=capacity,
+            max_uniques_per_shard=2048,
+        )
+        assert got == barcode_histogram_np(records)
 
     def test_shard_overflow_raises_at_finalize(self):
         from ibu_tpu.parallel.device import DeviceHistogram

@@ -690,7 +690,16 @@ def dedup_file(
             if native.available():
                 native.sort_file(in_path, tmp)
             else:
-                sort_file_device(in_path, tmp)
+                import jax
+
+                if len(jax.devices()) > 1:
+                    # multi-device fallback: the mesh sample sort uses
+                    # every chip (and their combined HBM)
+                    from ibu_tpu.parallel.sort import sort_file_mesh
+
+                    sort_file_mesh(in_path, tmp)
+                else:
+                    sort_file_device(in_path, tmp)
             reader = MmapReader(tmp)
         except BaseException:
             os.unlink(tmp)

@@ -138,6 +138,22 @@ class TestDedupFile:
         want = molecule_counts_np(recs)
         assert stats["molecules"] == sum(want.values())
         assert stats["barcodes"] == len(want)
+
+    def test_unsorted_mesh_fallback(self, tmp_path, monkeypatch):
+        # with the native runtime unavailable and >1 device, the pre-sort
+        # falls back to the distributed mesh sort
+        from ibu_tpu.native import bindings as native
+
+        monkeypatch.setattr(native, "available", lambda: False)
+        rng = np.random.default_rng(4)
+        recs = _random_dup_records(rng, 3000)
+        src, dst = tmp_path / "u.ibu", tmp_path / "d.ibu"
+        self._write(src, recs, sorted_flag=False)
+        stats = dedup_file(str(src), str(dst))
+        want = molecule_counts_np(recs)
+        assert stats["molecules"] == sum(want.values())
+        assert stats["barcodes"] == len(want)
+        assert MmapReader(str(dst)).header().sorted()
         out = MmapReader(str(dst))
         assert out.len() == stats["molecules"] and out.header().sorted()
         # kept record of each pair carries that pair's minimum index

@@ -56,6 +56,14 @@ WORKER = textwrap.dedent(
     big = (1 << 40) | 49
     print("HIST2", len(hist2), sum(hist2.values()),
           hist2.get(0, 0), hist2.get(big, 0))
+    # spill leg: a table far smaller than the barcode space forces the
+    # overflow lane + replicated host drain on EVERY process; results
+    # must match the ample-capacity run exactly
+    hist3 = multihost_barcode_histogram(
+        path, batch_records=8192, capacity=32,
+        max_uniques_per_shard=1 << 9,
+    )
+    print("HIST3", int(hist3 == hist))
     import jax.numpy as jnp
     from ibu_tpu.parallel.device import MapReduce
     from ibu_tpu.parallel.multihost import multihost_map_reduce
@@ -133,6 +141,10 @@ def test_multihost_stats_cluster(nprocs, tmp_path):
         assert want_hist in out, f"rank {r} hist mismatch:\n{out}\n{err[-1500:]}"
         assert want_hist2 in out, (
             f"rank {r} divergent-hint hist mismatch:\n{out}\n{err[-1500:]}"
+        )
+        assert "HIST3 1" in out, (
+            f"rank {r} spill-mode hist diverged from the ample-capacity "
+            f"run:\n{out}\n{err[-1500:]}"
         )
         assert want_mapred in out, f"rank {r} mapred mismatch:\n{out}\n{err[-1500:]}"
 

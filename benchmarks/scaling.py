@@ -99,6 +99,11 @@ def main() -> None:
     ap.add_argument("--batch-records", type=int, default=1 << 21)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument(
+        "--kernel", choices=("stats", "sort"), default="stats",
+        help="stats: streaming count+checksum engine; sort: the "
+             "distributed mesh sample sort (ibu_tpu.parallel.sort)",
+    )
+    ap.add_argument(
         "--pinned-processes", type=int, default=None, metavar="N",
         help="instead of the in-process mesh sweep, measure a pinned "
              "N-process jax.distributed cluster (one physical core + one "
@@ -158,18 +163,35 @@ def main() -> None:
         sizes.append(len(devices))
 
     want_idx = (n * (n - 1) // 2) & 0xFFFFFFFFFFFFFFFF
+    if args.kernel == "sort":
+        from ibu_tpu.parallel.sort import sharded_sort_records
+
+        recs = np.asarray(MmapReader(path).records)
+        oracle = np.sort(recs, order=("barcode", "umi", "index"))
     rates = []
     for size in sizes:
         mesh = Mesh(np.array(devices[:size]), (AXIS,))
         reader = MmapReader(path)
         best = float("inf")
-        for _ in range(args.reps):
-            t0 = time.perf_counter()
-            stats = stream_file_stats(
-                reader, mesh=mesh, batch_records=args.batch_records
+        if args.kernel == "sort":
+            got = sharded_sort_records(  # also pays compilation
+                recs, mesh=mesh, bc_len=16, umi_len=12, index_bits=32
             )
-            best = min(best, time.perf_counter() - t0)
-        assert stats["count"] == n and stats["index_sum"] == want_idx
+            np.testing.assert_array_equal(got, oracle)
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                sharded_sort_records(
+                    recs, mesh=mesh, bc_len=16, umi_len=12, index_bits=32
+                )
+                best = min(best, time.perf_counter() - t0)
+        else:
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                stats = stream_file_stats(
+                    reader, mesh=mesh, batch_records=args.batch_records
+                )
+                best = min(best, time.perf_counter() - t0)
+            assert stats["count"] == n and stats["index_sum"] == want_idx
         rate = n / best
         rates.append(rate)
         print(f"  {size} device(s): {best:.2f}s = {rate/1e6:.1f} M rec/s",

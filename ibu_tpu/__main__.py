@@ -200,6 +200,9 @@ def cmd_histogram(args) -> int:
 
 
 def cmd_decode(args) -> int:
+    from ibu_tpu.utils import apply_platform_env
+
+    apply_platform_env()  # the batch decode runs on the jax device
     from ibu_tpu import Reader
     from ibu_tpu.pipelines import decode_batch, decode_tsv_block
 
@@ -397,6 +400,9 @@ def cmd_correct(args) -> int:
 
 
 def cmd_dedup(args) -> int:
+    from ibu_tpu.utils import apply_platform_env
+
+    apply_platform_env()  # unsorted inputs may pre-sort on the device
     from ibu_tpu.pipelines import dedup_file
 
     assume = {"auto": None, "yes": True, "no": False}[args.assume_sorted]

@@ -46,6 +46,9 @@ def main() -> None:
     ap.add_argument("--bc16", action="store_true",
                     help="hinted 1-key shard sort (true for this lab's "
                          "data: barcodes < 2^32)")
+    ap.add_argument("--spill", choices=("on", "off"), default="on",
+                    help="A/B the overflow-lane merge (round 4) vs the "
+                         "strict merge")
     args = ap.parse_args()
 
     import jax
@@ -79,6 +82,7 @@ def main() -> None:
             mesh=mesh, capacity=args.capacity,
             max_uniques_per_shard=args.max_uniques,
             merge_every=args.merge_every,
+            spill=args.spill == "on",
         )
 
     # compile + warm both stages

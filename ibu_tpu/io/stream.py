@@ -24,12 +24,43 @@ import numpy as np
 from ibu_tpu.io.mmap import STREAM_BATCH_RECORDS, STREAM_PREFETCH, MmapReader
 
 
+def prefetched(items, depth: int):
+    """Iterate ``items`` with up to ``depth`` values produced ahead of the
+    consumer — the bounded-queue prefetch policy shared by every streaming
+    engine (single-process :class:`DeviceStream` and the multihost placed
+    loop). Production work (mmap fault, host→device placement dispatch)
+    for upcoming items overlaps the consumer's asynchronous step
+    execution; the queue refills both before AND after each yield so the
+    pipeline stays primed while the consumer computes.
+    """
+    depth = max(1, depth)
+    queue: deque = deque()
+    it = iter(items)
+    exhausted = False
+
+    def fill():
+        nonlocal exhausted
+        while not exhausted and len(queue) < depth:
+            try:
+                queue.append(next(it))
+            except StopIteration:
+                exhausted = True
+
+    while True:
+        fill()
+        if not queue:
+            return
+        item = queue.popleft()
+        fill()  # keep the pipeline primed while the consumer computes
+        yield item
+
+
 class DeviceStream:
     """Prefetching iterator of device-placed record batches.
 
     Yields ``(device_raw, valid_counts)`` pairs as produced by
     :func:`ibu_tpu.parallel.device.shard_batch`, keeping up to ``prefetch``
-    batches in flight ahead of the consumer.
+    batches in flight ahead of the consumer (via :func:`prefetched`).
     """
 
     def __init__(
@@ -44,39 +75,30 @@ class DeviceStream:
 
         self._batches = iter(batches)
         self._mesh = mesh or make_mesh()
-        self._prefetch = max(1, prefetch)
         self._placer = placer or default_placer
         self._with_hint = with_hint
-        self._queue: deque = deque()
+        self._iter = prefetched(self._place_all(), prefetch)
 
-    def _fill(self) -> None:
-        from ibu_tpu.parallel.device import as_raw_u32, shard_batch
+    def _place_all(self):
+        from ibu_tpu.parallel.device import (
+            as_raw_u32,
+            bc16_hint,
+            shard_batch,
+        )
 
-        while len(self._queue) < self._prefetch:
-            try:
-                batch = next(self._batches)
-            except StopIteration:
-                return
+        for batch in self._batches:
             item = shard_batch(batch, self._mesh, self._placer)
             if self._with_hint:
-                # data-verified "all barcodes < 2^32" hint: one strided max
-                # over the hi word of the wire view, before placement (the
-                # pages are about to be DMA'd anyway)
-                hi_col = as_raw_u32(batch)[:, 1]
-                bc16 = len(hi_col) == 0 or int(hi_col.max()) == 0
-                item = item + (bc16,)
-            self._queue.append(item)
+                # hint computed before placement (the pages are about to
+                # be DMA'd anyway)
+                item = item + (bc16_hint(as_raw_u32(batch)),)
+            yield item
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        self._fill()
-        if not self._queue:
-            raise StopIteration
-        item = self._queue.popleft()
-        self._fill()  # keep the pipeline primed while the consumer computes
-        return item
+        return next(self._iter)
 
 
 def stream_file(

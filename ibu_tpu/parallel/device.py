@@ -97,6 +97,16 @@ def as_raw_u32(batch: np.ndarray, layout: str = "auto") -> np.ndarray:
     raise ValueError(f"unknown layout {layout!r}")
 
 
+def bc16_hint(raw: np.ndarray) -> bool:
+    """Data-verified "every barcode fits the lo u32 word" hint: one
+    strided max over the wire view's bc_hi column. Padding rows are
+    all-zero, so they never veto. Selects the 1-key shard-sort program
+    in the histogram engines (collective-free, so per-process hint
+    divergence on a multi-host mesh is safe)."""
+    hi_col = raw[:, 1]
+    return len(hi_col) == 0 or int(hi_col.max()) == 0
+
+
 def shard_batch(
     batch: np.ndarray, mesh: Mesh, placer=default_placer
 ) -> tuple[jax.Array, jax.Array]:
@@ -562,10 +572,8 @@ def sharded_barcode_histogram(
     totals: dict[int, int] = {}
     for batch in batches:
         # hinted 1-key sort when this batch's barcodes provably fit the
-        # lo word (one host max() over the wire view's bc_hi column —
-        # data-verified, not header-trusted)
-        hi_col = as_raw_u32(batch)[:, 1]
-        bc16 = len(hi_col) == 0 or int(hi_col.max()) == 0
+        # lo word (data-verified, not header-trusted)
+        bc16 = bc16_hint(as_raw_u32(batch))
         if bc16 not in hist_fns:
             hist_fns[bc16] = _shard_hist_fn(
                 mesh, mesh_key, max_uniques_per_shard, bc16
@@ -825,8 +833,7 @@ class DeviceHistogram:
         ``max()`` over the wire view's bc_hi column — data-verified) take
         the hinted 1-key shard sort.
         """
-        hi_col = as_raw_u32(batch)[:, 1]
-        bc16 = len(hi_col) == 0 or int(hi_col.max()) == 0
+        bc16 = bc16_hint(as_raw_u32(batch))
         dev_raw, dev_valid = shard_batch(batch, self.mesh, self._placer)
         self.update_placed(dev_raw, dev_valid, bc16=bc16)
 
@@ -870,9 +877,21 @@ class DeviceHistogram:
             return
         ovf_n, o_lo, o_hi, o_cnt = self._pending
         self._pending = None
-        if int(_to_host(ovf_n)) == 0:
+        n = int(_to_host(ovf_n))
+        if n == 0:
             return
-        lo, hi, cnt = _to_host(o_lo), _to_host(o_hi), _to_host(o_cnt)
+        # live overflow groups are a contiguous prefix (valid segments
+        # sort before invalid ones in the merge); transfer only that,
+        # pow2-bucketed so device slicing compiles O(log) variants, not
+        # one per distinct n — the full lane is merge_every * S *
+        # max_uniques entries (~50 MB at defaults), the live prefix is
+        # typically a few thousand
+        m = min(1 << max(0, (n - 1).bit_length()), o_lo.shape[0])
+        lo, hi, cnt = (
+            _to_host(o_lo[:m]),
+            _to_host(o_hi[:m]),
+            _to_host(o_cnt[:m]),
+        )
         nz = cnt != 0
         keys = lo[nz].astype(np.uint64) | (hi[nz].astype(np.uint64) << 32)
         for k, c in zip(keys.tolist(), cnt[nz].astype(np.int64).tolist()):

@@ -30,6 +30,7 @@ from ibu_tpu.ops.u64 import soa_from_records
 from ibu_tpu.parallel.device import (
     AXIS,
     STATS_MAP_REDUCE,
+    bc16_hint,
     finalize_stats,
     make_mesh,
 )
@@ -103,6 +104,12 @@ def multihost_rounds(total_records: int, local_cols: int) -> int:
     local max removes one Gloo/DCN sync from every streaming call — it was
     ~40% of the fixed multi-process overhead in the 2-process scaling
     stand-in (RESULTS.md round 4).
+
+    Local reasoning is only valid when every process has the same device
+    count (``local_cols`` is derived from it); the lone caller falls back
+    to the allgather on heterogeneous cohorts — a locally-computed round
+    count there would desynchronize the cohort-wide collective schedule
+    and hang the job at the first mismatched round.
     """
     return max(
         _cdiv(max(e - s, 0), local_cols)
@@ -148,7 +155,23 @@ def multihost_placed_batches(
     local_cols = per_dev * s_local  # fixed local block width every round
 
     start, end = local_record_range(reader.len())
-    rounds = multihost_rounds(reader.len(), local_cols)
+    if jax.device_count() == s_local * jax.process_count():
+        # homogeneous cohort (the TPU-pod norm): every process derives the
+        # same round count locally — no sync
+        rounds = multihost_rounds(reader.len(), local_cols)
+    else:
+        # heterogeneous device counts: local_cols differs per process, so
+        # agree on the max local round count the robust way
+        from jax.experimental import multihost_utils
+
+        my_rounds = _cdiv(max(end - start, 0), local_cols)
+        rounds = int(
+            np.max(
+                multihost_utils.process_allgather(
+                    np.asarray([my_rounds], dtype=np.int64)
+                )
+            )
+        )
 
     def produce():
         pos = start
@@ -164,7 +187,7 @@ def multihost_placed_batches(
                 blk = np.zeros((0, 6), dtype=np.uint32)
             b_local = blk.shape[0]
             pos = stop
-            bc16 = b_local == 0 or int(blk[:, 1].max()) == 0
+            bc16 = bc16_hint(blk)
             if b_local < local_cols:
                 blk = np.concatenate(
                     [blk, np.zeros((local_cols - b_local, 6), dtype=np.uint32)]
@@ -178,20 +201,9 @@ def multihost_placed_batches(
             )
             yield placed + (bc16,) if with_hint else placed
 
-    from collections import deque
+    from ibu_tpu.io.stream import prefetched
 
-    queue: deque = deque()
-    src = produce()
-    exhausted = False
-    while True:
-        while not exhausted and len(queue) < prefetch:
-            try:
-                queue.append(next(src))
-            except StopIteration:
-                exhausted = True
-        if not queue:
-            return
-        yield queue.popleft()
+    yield from prefetched(produce(), prefetch)
 
 
 def multihost_file_stats(

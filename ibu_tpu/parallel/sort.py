@@ -138,10 +138,18 @@ def _build_sort_program(
         srt = list(jax.lax.sort(tuple(rows), num_keys=k))
         pos = jnp.arange(npad, dtype=jnp.uint32)  # duplicate tiebreak
 
-        # 2. splitters from regularly-spaced samples (+ position word)
+        # 2. splitters from regularly-spaced samples (+ position word).
+        # Position math: (k * n_valid) // m computed as
+        # k*(n_valid//m) + k*(n_valid%m)//m — algebraically identical but
+        # every intermediate stays < n_valid, where the naive product
+        # k*n_valid wraps int32 once local_n exceeds ~2^31/(2q) ≈ 4.2M
+        # records/shard (inside the advertised file-size range; jax
+        # int64 is disabled by default so casting up is not an option)
         q = n_samples
+        m = 2 * q
+        k_odd = 2 * jnp.arange(q, dtype=jnp.int32) + 1  # k < m
         samp_at = jnp.clip(
-            ((2 * jnp.arange(q, dtype=jnp.int32) + 1) * n_valid) // (2 * q),
+            k_odd * (n_valid // m) + (k_odd * (n_valid % m)) // m,
             0,
             npad - 1,
         )

@@ -129,31 +129,11 @@ class TestDedupFile:
         )
         np.testing.assert_array_equal(got, recs[first])
 
-    def test_unsorted_input_sorts_first(self, tmp_path):
-        rng = np.random.default_rng(3)
-        recs = _random_dup_records(rng, 3000)
-        src, dst = tmp_path / "u.ibu", tmp_path / "d.ibu"
-        self._write(src, recs, sorted_flag=False)
-        stats = dedup_file(str(src), str(dst))
+    def _check_unsorted_dedup(self, recs, stats, dst):
+        """Shared content oracle for the unsorted-input pre-sort paths."""
         want = molecule_counts_np(recs)
         assert stats["molecules"] == sum(want.values())
         assert stats["barcodes"] == len(want)
-
-    def test_unsorted_mesh_fallback(self, tmp_path, monkeypatch):
-        # with the native runtime unavailable and >1 device, the pre-sort
-        # falls back to the distributed mesh sort
-        from ibu_tpu.native import bindings as native
-
-        monkeypatch.setattr(native, "available", lambda: False)
-        rng = np.random.default_rng(4)
-        recs = _random_dup_records(rng, 3000)
-        src, dst = tmp_path / "u.ibu", tmp_path / "d.ibu"
-        self._write(src, recs, sorted_flag=False)
-        stats = dedup_file(str(src), str(dst))
-        want = molecule_counts_np(recs)
-        assert stats["molecules"] == sum(want.values())
-        assert stats["barcodes"] == len(want)
-        assert MmapReader(str(dst)).header().sorted()
         out = MmapReader(str(dst))
         assert out.len() == stats["molecules"] and out.header().sorted()
         # kept record of each pair carries that pair's minimum index
@@ -166,6 +146,27 @@ class TestDedupFile:
             assert int(r["index"]) == by_pair[
                 (int(r["barcode"]), int(r["umi"]))
             ]
+
+    def test_unsorted_input_sorts_first(self, tmp_path):
+        rng = np.random.default_rng(3)
+        recs = _random_dup_records(rng, 3000)
+        src, dst = tmp_path / "u.ibu", tmp_path / "d.ibu"
+        self._write(src, recs, sorted_flag=False)
+        stats = dedup_file(str(src), str(dst))
+        self._check_unsorted_dedup(recs, stats, dst)
+
+    def test_unsorted_mesh_fallback(self, tmp_path, monkeypatch):
+        # with the native runtime unavailable and >1 device, the pre-sort
+        # falls back to the distributed mesh sort
+        from ibu_tpu.native import bindings as native
+
+        monkeypatch.setattr(native, "available", lambda: False)
+        rng = np.random.default_rng(4)
+        recs = _random_dup_records(rng, 3000)
+        src, dst = tmp_path / "u.ibu", tmp_path / "d.ibu"
+        self._write(src, recs, sorted_flag=False)
+        stats = dedup_file(str(src), str(dst))
+        self._check_unsorted_dedup(recs, stats, dst)
 
     def test_lying_sorted_flag_raises(self, tmp_path):
         bc = np.array([5, 1], dtype=np.uint64)

@@ -88,6 +88,33 @@ class TestShardedSortRecords:
             srt,
         )
 
+    @pytest.mark.slow
+    def test_large_shard_sample_positions(self):
+        # regression: sample positions ((2i+1) * n_valid) once wrapped
+        # int32 past n_valid > 2^31/(2*samples_per_shard - 1) records per
+        # shard, collapsing the high splitters to the smallest keys and
+        # raising a spurious exchange overflow once >50% of the sample
+        # products wrap (the skew then overloads one destination past
+        # c_send). 8192 samples/shard wraps half the products at ~262k
+        # records/shard, so 4 devices x 300k reproduces the production
+        # default's failure shape at 4.2M+ records/shard without a
+        # 17M-record test.
+        import jax
+        from jax.sharding import Mesh
+        from ibu_tpu.parallel.device import AXIS
+
+        mesh = Mesh(np.array(jax.devices()[:4]), (AXIS,))
+        recs = _random_records(1_200_000, 8)
+        got = sharded_sort_records(
+            recs,
+            mesh=mesh,
+            bc_len=16,
+            umi_len=12,
+            index_bits=32,
+            samples_per_shard=8192,
+        )
+        np.testing.assert_array_equal(got, _oracle(recs))
+
     def test_violated_hint_raises(self):
         recs = make_records(
             np.array([1 << 40], np.uint64),  # needs the bc hi word

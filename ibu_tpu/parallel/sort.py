@@ -252,19 +252,40 @@ def _build_sort_program(
     return program
 
 
+def _shape_bucket(n: int) -> int:
+    """Round a shard width up to the next ``{2^k, 1.5*2^k}`` bucket.
+
+    The compiled sort program is keyed by ``local_n`` (and the derived
+    ``c_send``); without bucketing every distinct file size compiles a
+    fresh program — ~minutes per shape on a TPU (RESULTS.md round 4).
+    Bucketed widths make the in-process program cache AND the persistent
+    XLA compile cache hit across nearby sizes, at <=33% padding — and the
+    in-program sorts pad to the next pow2 anyway, so the dominant stage
+    costs exactly the same.
+    """
+    if n <= 64:
+        return 64
+    k = (n - 1).bit_length()  # 2^(k-1) < n <= 2^k
+    mid = (1 << (k - 1)) + (1 << (k - 2))
+    return mid if n <= mid else 1 << k
+
+
 def _deal_to_shards(records: np.ndarray, mesh: Mesh):
     """Place records stride-dealt over the mesh (module docstring):
     shard ``i`` gets positions ``i, i+S, …`` so every shard uniformly
     samples the key range regardless of input order. Returns
     ``(dev_raw, dev_valid, local_n)``; each shard's valid rows are a
     prefix (padding positions ``>= n`` land at the tail of every shard).
+    ``local_n`` is bucketed (:func:`_shape_bucket`) so recompiles are
+    per-bucket, not per-file-size; the kernel masks the extra padding by
+    the per-shard valid counts exactly like any short shard.
     """
     from ibu_tpu.parallel.device import as_raw_u32, default_placer
 
     s = mesh.devices.size
     raw = as_raw_u32(np.asarray(records))
     b = raw.shape[0]
-    local_n = _cdiv(max(b, 1), s)
+    local_n = _shape_bucket(_cdiv(max(b, 1), s))
     padded = local_n * s
     if padded != b:
         raw = np.concatenate(

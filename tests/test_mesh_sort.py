@@ -115,6 +115,35 @@ class TestShardedSortRecords:
         )
         np.testing.assert_array_equal(got, _oracle(recs))
 
+    def test_shape_bucket_values(self):
+        from ibu_tpu.parallel.sort import _shape_bucket
+
+        assert _shape_bucket(1) == 64
+        assert _shape_bucket(64) == 64
+        assert _shape_bucket(65) == 96  # 1.5 * 64
+        assert _shape_bucket(96) == 96
+        assert _shape_bucket(97) == 128
+        assert _shape_bucket(1 << 20) == 1 << 20
+        assert _shape_bucket((1 << 20) + 1) == 3 << 19
+        for n in (2, 100, 999, 12345, 1 << 21):
+            assert _shape_bucket(n) >= n
+            assert _shape_bucket(n) < 2 * max(n, 64)
+
+    def test_nearby_sizes_share_one_program(self):
+        # the point of bucketing: sorting files of nearby sizes must not
+        # recompile (per-shape compiles cost ~minutes on a real chip)
+        from ibu_tpu.parallel import sort as msort
+
+        msort._SORT_PROGRAM_CACHE.clear()
+        # all raw shard widths in (12288, 16384] -> one 16384 bucket
+        for n in (99_000, 100_000, 120_000, 131_072):
+            recs = _random_records(n, seed=n)
+            got = sharded_sort_records(
+                recs, bc_len=16, umi_len=12, index_bits=32
+            )
+            np.testing.assert_array_equal(got, _oracle(recs))
+        assert len(msort._SORT_PROGRAM_CACHE) == 1
+
     def test_violated_hint_raises(self):
         recs = make_records(
             np.array([1 << 40], np.uint64),  # needs the bc hi word

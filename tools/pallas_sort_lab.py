@@ -12,11 +12,13 @@ chip, because the composition can never beat its slowest part:
   counting phase shared by every radix formulation): a 256-iteration
   compare-accumulate over the tile. Pure VPU; measures the compute side
   of destination ranks.
-* K2 ``rank_cumsum`` — per-element within-tile rank via the one-hot
-  cumulative-sum formulation ((TN, 256) i32 cumsum along the record
-  axis + one-hot dot): the only Mosaic-expressible exact rank. Its
-  traffic amplification (256 lanes of i32 per 4-byte key) is the cost
-  of not having per-element gather/scatter.
+* K2 ``rank_cumsum`` — per-element within-tile rank via one-hot
+  prefix sums. Mosaic has no cumsum primitive, so the prefix runs as
+  triangular MATMULS (inclusive (LANES, LANES) per row + strict
+  (ROWS, ROWS) across rows) + the one-hot gather dot: the only
+  Mosaic-expressible exact rank. Its amplification (256 f32 lanes per
+  4-byte key, ~64 KFLOP/key) is the cost of not having per-element
+  gather/scatter.
 * K3 ``dynamic_store`` — per (tile, digit) dynamic-offset stores of the
   minimum efficient granularity ((8, 128) i32 rows): the move phase's
   floor. Radix moves ~TN/256 elements per (tile, digit) — far below one
@@ -50,44 +52,90 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-ROWS, LANES = 64, 128
-TILE = ROWS * LANES  # 8192 keys per grid step
+ROWS, LANES = 16, 128
+TILE = ROWS * LANES  # 2048 keys per grid step (ROWS kept small: K2
+# unrolls one triangular matmul per row and Mosaic compile time scales
+# with the unroll)
+
+
+GROUP = 8  # tiles per grid step — Mosaic needs >=8 sublanes per output block
 
 
 def _hist_kernel(keys_ref, hist_ref):
-    d = (keys_ref[...].astype(jnp.int32) >> 0) & 0xFF  # (ROWS, LANES)
-    # 256-way compare-accumulate: bin c count = sum(d == c)
-    counts = []
+    d = (keys_ref[...].astype(jnp.int32) >> 0) & 0xFF  # (GROUP*ROWS, LANES)
+    # 256-way compare-accumulate, lane-reduced to a per-row column M[r, c]
+    # = #(d[r, :] == c); the per-tile rows are then M folded through an
+    # (GROUP, GROUP*ROWS) one-hot tile-selector matmul (exact in f32:
+    # counts <= TILE < 2^24).
+    cols = []
     for c in range(256):
-        counts.append(jnp.sum((d == c).astype(jnp.int32)))
-    hist_ref[0, :] = jnp.stack(counts)
+        cols.append(jnp.sum((d == c).astype(jnp.float32), axis=1))
+    # stack along SUBLANES ((256, GROUP*ROWS) — native row inserts; the
+    # lane-axis stack materializes every column as a padded (R, 128) tile
+    # and blows scoped VMEM), then contract on the MXU with the row axis
+    # of the tile selector: hist[s, c] = sum_r sel[s, r] * m_t[c, r].
+    m_t = jnp.stack(cols, axis=0)  # (256, GROUP*ROWS)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP * ROWS), 1)
+    sel = (rows // ROWS == jax.lax.broadcasted_iota(
+        jnp.int32, (GROUP, GROUP * ROWS), 0)).astype(jnp.float32)
+    hist_ref[...] = jax.lax.dot_general(
+        sel, m_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
 
 
 def digit_histogram(keys: jax.Array, interpret: bool) -> jax.Array:
     n = keys.shape[0]
     tiles = n // TILE
+    assert tiles % GROUP == 0
     return pl.pallas_call(
         _hist_kernel,
-        grid=(tiles,),
-        in_specs=[pl.BlockSpec((ROWS, LANES), lambda i: (i, 0))],
-        out_specs=pl.BlockSpec((1, 256), lambda i: (i, 0)),
+        grid=(tiles // GROUP,),
+        in_specs=[pl.BlockSpec((GROUP * ROWS, LANES), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((GROUP, 256), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((tiles, 256), jnp.int32),
+        # the 256 unrolled lane-reductions keep ~25 MB of intermediates
+        # live; that is the cost of the formulation being measured, so
+        # raise the scoped-VMEM cap rather than shrink the tile
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
     )(keys.reshape(tiles * ROWS, LANES))
 
 
 def _rank_kernel(keys_ref, rank_ref):
+    # rank_i = (# earlier records in the tile with the same digit),
+    # records flattened row-major. Mosaic has no cumsum primitive, so the
+    # only exact expressible form is prefix-sums as triangular MATMULS:
+    # an inclusive lower-triangular (LANES, LANES) dot per row gives the
+    # within-row running count of each digit, and a strictly-lower
+    # (ROWS, ROWS) dot over the row totals gives the cross-row prefix.
+    # The per-element gather is the one-hot dot as before. This costs
+    # ~64 KFLOP per key — the measured price of exact ranks without
+    # per-element gather/scatter.
     d = (keys_ref[...].astype(jnp.int32)) & 0xFF  # (ROWS, LANES)
-    # one-hot over 256 digit lanes, record axis flattened row-major:
-    # rank_i = (# earlier records with the same digit). The exact
-    # Mosaic-expressible formulation: cumsum of the one-hot matrix.
-    flat_d = d.reshape(TILE, 1)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (TILE, 256), 1)
-    oh = (flat_d == lanes).astype(jnp.int32)  # (TILE, 256)
-    cum = jnp.cumsum(oh, axis=0)  # inclusive
-    rank = jnp.sum(oh * cum, axis=1) - 1  # gather via one-hot dot
-    rank_ref[...] = rank.reshape(ROWS, LANES)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, 256), 1)
+    tri = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0) >= \
+        jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    l_inc = tri.astype(jnp.float32)  # inclusive within-row prefix
+    trs = jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 0) > \
+        jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 1)
+    l_exc = trs.astype(jnp.float32)  # strictly-lower cross-row prefix
+    ohs, cums, sums = [], [], []
+    for r in range(ROWS):
+        oh_r = (d[r][:, None] == c_iota).astype(jnp.float32)  # (128, 256)
+        cum_r = jax.lax.dot(l_inc, oh_r,
+                            preferred_element_type=jnp.float32)
+        ohs.append(oh_r)
+        cums.append(cum_r)
+        sums.append(cum_r[LANES - 1])
+    pre = jax.lax.dot(l_exc, jnp.stack(sums, axis=0),
+                      preferred_element_type=jnp.float32)  # (ROWS, 256)
+    rows = []
+    for r in range(ROWS):
+        tot = cums[r] + pre[r][None, :]
+        rows.append(jnp.sum(ohs[r] * tot, axis=1) - 1.0)  # (128,)
+    rank_ref[...] = jnp.stack(rows, axis=0).astype(jnp.int32)
 
 
 def rank_cumsum(keys: jax.Array, interpret: bool) -> jax.Array:
@@ -99,22 +147,32 @@ def rank_cumsum(keys: jax.Array, interpret: bool) -> jax.Array:
         in_specs=[pl.BlockSpec((ROWS, LANES), lambda i: (i, 0))],
         out_specs=pl.BlockSpec((ROWS, LANES), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((tiles * ROWS, LANES), jnp.int32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
     )(keys.reshape(tiles * ROWS, LANES))
 
 
 def _store_kernel(keys_ref, off_ref, out_ref):
     # 256 dynamic-offset (8, 128) stores per tile — the move phase's
-    # granularity floor. Offsets are tile-local (out block = 256 * 8 rows
-    # per tile) and row-aligned; real radix offsets are neither.
+    # granularity floor. Offsets land inside a TILE-sized out block
+    # (overlapping on purpose: the measured quantity is store throughput
+    # at radix granularity, and a per-(tile,digit)-slot layout would
+    # allocate 256*8 rows per tile — gigabytes of HBM at real n) and are
+    # row-aligned; real radix offsets are neither. The 256 offsets for
+    # this tile live in the first 2 rows of an (8, 128) pad (Mosaic
+    # requires >=8 sublanes per block).
     tile = keys_ref[...]  # (ROWS, LANES)
+    off = off_ref[...]   # (8, 128); digit c's offset at [c//128, c%128]
     for c in range(256):
-        rows = tile[(c % 8) * 8 : (c % 8) * 8 + 8, :]
-        start = off_ref[0, c]
+        g = c % (ROWS // 8)
+        rows = tile[g * 8 : g * 8 + 8, :]
+        start = off[c // LANES, c % LANES]
         out_ref[pl.ds(start, 8), :] = rows
 
 
 def dynamic_store(keys: jax.Array, offs: jax.Array, interpret: bool):
+    """offs: (tiles * 8, 128) i32 — tile i's 256 offsets packed row-major
+    into rows [8i, 8i+2), the rest padding; values in [0, ROWS-8]."""
     n = keys.shape[0]
     tiles = n // TILE
     return pl.pallas_call(
@@ -122,10 +180,11 @@ def dynamic_store(keys: jax.Array, offs: jax.Array, interpret: bool):
         grid=(tiles,),
         in_specs=[
             pl.BlockSpec((ROWS, LANES), lambda i: (i, 0)),
-            pl.BlockSpec((1, 256), lambda i: (i, 0)),
+            pl.BlockSpec((8, LANES), lambda i: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((256 * 8, LANES), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((tiles * 256 * 8, LANES), jnp.int32),
+        out_specs=pl.BlockSpec((ROWS, LANES), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((tiles * ROWS, LANES), jnp.int32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
     )(keys.reshape(tiles * ROWS, LANES), offs)
 
@@ -146,15 +205,22 @@ def main() -> None:
         i = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
         return (i * jnp.uint32(2654435761)) ^ (i >> 3) ^ seed
 
+    def fetch4(out):
+        # force completion with a DEVICE-side slice then a 16-byte pull —
+        # np.asarray(out) would drag the whole result (up to GBs for K3)
+        # through the host tunnel and time the link, not the kernel
+        leaf = jax.tree.leaves(out)[0]
+        return np.asarray(leaf.ravel()[:4])
+
     def timed(label, fn, bytes_per_rec, reps=4):
-        _ = np.asarray(jax.tree.leaves(fn(gen(jnp.uint32(0))))[0]).ravel()[:4]
+        _ = fetch4(fn(gen(jnp.uint32(0))))
         best = float("inf")
         for k in range(reps):
             x = gen(jnp.uint32(100 + k))
             jax.block_until_ready(x)
             t0 = time.perf_counter()
             out = fn(x)
-            _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[:4]  # force
+            _ = fetch4(out)  # force
             best = min(best, time.perf_counter() - t0)
         mrec = n / best / 1e6
         print(f"{label:<28} {best*1e3:9.2f} ms {mrec:8.0f} Mrec/s "
@@ -163,13 +229,13 @@ def main() -> None:
 
     # correctness of the kernels vs numpy (tiny slice)
     keys = gen(jnp.uint32(0))
-    h = np.asarray(digit_histogram(keys, interp))
+    h = np.asarray(digit_histogram(keys, interp)[:2])  # device-side slice
     kh = np.asarray(keys).reshape(-1, TILE)
     want_h = np.stack(
         [np.bincount(t & 0xFF, minlength=256) for t in kh[:2]]
     )
     assert np.array_equal(h[:2], want_h), "histogram kernel wrong"
-    r = np.asarray(rank_cumsum(keys, interp)).reshape(-1)[:TILE]
+    r = np.asarray(rank_cumsum(keys, interp).reshape(-1)[:TILE])
     d0 = (np.asarray(keys)[:TILE] & 0xFF).astype(np.int64)
     want_r = np.zeros(TILE, np.int64)
     seen: dict = {}
@@ -200,10 +266,11 @@ def main() -> None:
         rank_cumsum, interpret=False), 4)
 
     tiles = n // TILE
-    offs = jnp.asarray(
-        (np.random.default_rng(0).permutation(tiles * 256) % (256 * 8 - 8))
-        .reshape(tiles, 256).astype(np.int32)
-    )
+    offs_np = (np.random.default_rng(0).permutation(tiles * 256)
+               % (ROWS - 8 + 1)).reshape(tiles, 256).astype(np.int32)
+    pad = np.zeros((tiles * 8, LANES), np.int32)
+    pad.reshape(tiles, 8 * LANES)[:, :256] = offs_np
+    offs = jnp.asarray(pad)
     ts = timed("K3 256 dyn stores/tile", functools.partial(
         dynamic_store, offs=offs, interpret=False), 4 + 4 * 8 * 128 * 256 // TILE)
 

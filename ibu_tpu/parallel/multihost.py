@@ -19,6 +19,7 @@ exercised by the single-host test suite too.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import jax
@@ -267,6 +268,153 @@ def multihost_barcode_histogram(
     ):
         hist.update_placed(g_raw, g_valid, bc16=bc16)
     return hist.finalize()
+
+
+def multihost_sort_file(
+    in_path: str,
+    out_path: str,
+    mesh: Mesh | None = None,
+    index_bits: int | None = None,
+    slack: float = 2.0,
+    samples_per_shard: int = 256,
+) -> None:
+    """Pod-scale sorted rewrite: the mesh sample sort over ALL hosts.
+
+    The multi-process generalization of
+    :func:`ibu_tpu.parallel.sort.sort_file_mesh`: the same jitted
+    shard_map sample-sort program runs over the GLOBAL mesh, so the
+    ``all_to_all`` exchange rides ICI within a slice and DCN across
+    slices, and files up to the whole pod's HBM sort on device.
+
+    Host plumbing per process (``out_path`` must be on a filesystem all
+    hosts share — the same assumption every multi-writer tool makes):
+
+    * stride-deal READS: global shard ``g`` owns record positions
+      ``g, g+S, …`` (the exact placement rule of the single-process
+      engine — ``parallel/sort.py`` module docstring), so each process
+      reads only its own devices' strided subsets of the input mmap;
+    * each process ``pwrite``s its own shards' sorted runs at exact byte
+      offsets derived from the allgathered per-shard counts; process 0
+      pre-creates the file (header + full-size truncate) behind a
+      cohort barrier, so every byte is written exactly once.
+    """
+    from jax.experimental import multihost_utils
+
+    from ibu_tpu.constructs.header import HEADER_SIZE, Header
+    from ibu_tpu.constructs.record import RECORD_SIZE
+    from ibu_tpu.parallel.sort import (
+        _build_sort_program,
+        _cdiv as _sort_cdiv,
+        _shape_bucket,
+        _verify_hints_host,
+    )
+    from ibu_tpu.pipelines import _require_plain
+
+    if jax.process_count() == 1:
+        from ibu_tpu.parallel.sort import sort_file_mesh
+
+        sort_file_mesh(
+            in_path, out_path, mesh=mesh, index_bits=index_bits,
+            slack=slack,
+        )
+        return
+
+    _require_plain(in_path, "sort")
+    mesh = mesh or make_mesh()
+    s = mesh.devices.size
+    reader = MmapReader(in_path)
+    header = reader.header()
+    records = reader.records  # mmap view — no bulk copy
+    b = reader.len()
+
+    # hints: identical on every process (hi_used shapes the compiled
+    # program, so per-process divergence would desynchronize the cohort);
+    # the index probe scans the shared mmap, same bytes everywhere
+    if index_bits is None:
+        idx_hi = np.asarray(records["index"]) >> np.uint64(32)
+        index_bits = 32 if not idx_hi.any() else None
+    hi_used = (
+        header.bc_len > 16,
+        header.umi_len > 16,
+        index_bits is None or index_bits > 32,
+    )
+    if not all(hi_used):
+        _verify_hints_host(records, hi_used)
+
+    local_n = _shape_bucket(_sort_cdiv(max(b, 1), s))
+    c_send = min(max(64, int(_sort_cdiv(local_n, s) * slack)), local_n)
+
+    # stride-dealt blocks for THIS process's devices only
+    devs = list(mesh.devices.flat)
+    pid = jax.process_index()
+    local_gids = [g for g, d in enumerate(devs) if d.process_index == pid]
+    blocks, valid_local = [], []
+    for g in local_gids:
+        sub = np.ascontiguousarray(records[g::s]).view(np.uint32)
+        sub = sub.reshape(-1, 6)
+        valid_local.append(sub.shape[0])
+        if sub.shape[0] < local_n:
+            sub = np.concatenate(
+                [sub, np.zeros((local_n - sub.shape[0], 6), np.uint32)]
+            )
+        blocks.append(sub)
+    g_raw = process_local_placer(
+        np.concatenate(blocks), mesh, P(AXIS, None)
+    )
+    g_valid = process_local_placer(
+        np.asarray(valid_local, dtype=np.int32), mesh, P(AXIS)
+    )
+
+    mesh_key = (mesh.axis_names, tuple(d.id for d in devs))
+    program = _build_sort_program(
+        mesh, mesh_key, local_n, c_send, samples_per_shard, hi_used
+    )
+    out_raw, out_valid, overflow = program(g_raw, g_valid)
+
+    # cohort-wide counts/overflow: each process contributes its shards'
+    # slots of a dense (S,) vector; the allgather+sum is ordering-proof
+    cnt_local = np.zeros(s, dtype=np.int64)
+    ovf_local = False
+    for sh in out_valid.addressable_shards:
+        cnt_local[sh.index[0].start] = int(np.asarray(sh.data)[0])
+    for sh in overflow.addressable_shards:
+        ovf_local |= bool(np.asarray(sh.data)[0])
+    gathered = multihost_utils.process_allgather(
+        np.concatenate([cnt_local, [np.int64(ovf_local)]])[None, :]
+    ).reshape(jax.process_count(), s + 1)
+    if gathered[:, s].any():
+        raise ValueError(
+            "sharded sort exchange overflow: a shard's range exceeded "
+            f"c_send={c_send} (slack={slack}); retry with a larger slack"
+        )
+    counts = gathered[:, :s].sum(axis=0)
+    assert int(counts.sum()) == b, (counts, b)
+    offsets = HEADER_SIZE + RECORD_SIZE * (
+        np.concatenate([[0], np.cumsum(counts)[:-1]])
+    )
+
+    # process 0 creates header + full-size file; barrier; everyone
+    # pwrites its own shards; barrier again so the file is complete for
+    # every returning process
+    out_header = Header.new(header.bc_len, header.umi_len)
+    out_header.flags = header.flags
+    out_header.set_sorted()
+    if pid == 0:
+        with open(out_path, "wb") as f:
+            f.write(out_header.as_bytes())
+            f.truncate(HEADER_SIZE + RECORD_SIZE * b)
+    multihost_utils.sync_global_devices("ibu_multihost_sort_created")
+    rows_per = out_raw.shape[0] // s
+    fd = os.open(out_path, os.O_WRONLY)
+    try:
+        for sh in out_raw.addressable_shards:
+            g = sh.index[0].start // rows_per
+            part = np.asarray(sh.data)[: counts[g]]
+            os.pwrite(fd, np.ascontiguousarray(part).tobytes(),
+                      int(offsets[g]))
+    finally:
+        os.close(fd)
+    multihost_utils.sync_global_devices("ibu_multihost_sort_written")
 
 
 def multihost_map_reduce(

@@ -176,6 +176,25 @@ class TestShardedSortRecords:
         np.testing.assert_array_equal(mesh_sorted, soa_sorted)
 
 
+def test_multihost_sort_single_process_fallback(tmp_path):
+    # multihost_sort_file degrades to sort_file_mesh when there is no
+    # process group (the true cluster path is tests/test_multiprocess.py)
+    from ibu_tpu.io.mmap import MmapReader
+    from ibu_tpu.io.writer import Writer
+    from ibu_tpu.constructs.header import Header
+    from ibu_tpu.parallel.multihost import multihost_sort_file
+
+    recs = _random_records(20_000, 21)
+    src = str(tmp_path / "in.ibu")
+    dst = str(tmp_path / "out.ibu")
+    with Writer.from_path(src, Header.new(16, 12)) as w:
+        w.write_batch(recs)
+    multihost_sort_file(src, dst, index_bits=32)
+    got = MmapReader(dst)
+    assert got.header().sorted()
+    np.testing.assert_array_equal(np.asarray(got.records), _oracle(recs))
+
+
 class TestSortFileMesh:
     def test_sorted_rewrite_roundtrip(self, tmp_path, tmp_ibu_file):
         from ibu_tpu.io.mmap import MmapReader

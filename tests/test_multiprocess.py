@@ -149,6 +149,79 @@ def test_multihost_stats_cluster(nprocs, tmp_path):
         assert want_mapred in out, f"rank {r} mapred mismatch:\n{out}\n{err[-1500:]}"
 
 
+SORT_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    import numpy as np
+    rank, nprocs, port, in_path, out_path = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4],
+        sys.argv[5],
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        f"127.0.0.1:{{port}}", num_processes=nprocs, process_id=rank
+    )
+    from ibu_tpu.parallel.multihost import multihost_sort_file
+    multihost_sort_file(in_path, out_path, index_bits=32)
+    # the final barrier guarantees completeness on EVERY rank: verify
+    # the whole sorted file here, not just this rank's slice
+    from ibu_tpu.io.mmap import MmapReader
+    got = MmapReader(out_path)
+    src = MmapReader(in_path)
+    want = np.sort(
+        np.asarray(src.records), order=("barcode", "umi", "index")
+    )
+    ok = (
+        got.header().sorted()
+        and got.len() == src.len()
+        and bool(np.array_equal(np.asarray(got.records), want))
+    )
+    print("SORTED", int(ok))
+    """
+).format(repo=REPO)
+
+
+@pytest.mark.slow
+def test_multihost_sort_cluster(tmp_path):
+    """Pod-scale mesh sort stand-in: a real 2-process jax.distributed
+    cluster (4 virtual devices each) sorts one shared file through the
+    global-mesh sample sort; every rank byte-verifies the result against
+    the numpy oracle. 99_991 records: prime, so every shard count differs
+    and the remainder/stride bookkeeping is exercised."""
+    n = 99_991
+    rng = np.random.default_rng(11)
+    path = str(tmp_path / "mh_sort_in.ibu")
+    out = str(tmp_path / "mh_sort_out.ibu")
+    with Writer.from_path(path, Header.new(16, 12)) as w:
+        w.write_batch(
+            make_records(
+                rng.integers(0, 1 << 32, n).astype(np.uint64),
+                rng.integers(0, 1 << 24, n).astype(np.uint64),
+                rng.integers(0, 1 << 32, n).astype(np.uint64),
+            )
+        )
+    worker_py = tmp_path / "sort_worker.py"
+    worker_py.write_text(SORT_WORKER)
+    port = str(_free_port())
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker_py), str(r), "2", port, path, out],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for r in range(2)
+    ]
+    outs = [p.communicate(timeout=150) for p in procs]
+    for r, (o, err) in enumerate(outs):
+        assert procs[r].returncode == 0, f"rank {r} failed:\n{err[-3000:]}"
+        assert "SORTED 1" in o, f"rank {r} sort mismatch:\n{o}\n{err[-1500:]}"
+
+
 # ---------------------------------------------------------------------------
 # timed scaling efficiency (the single-machine stand-in for BASELINE.md's
 # "≥85% records/s scaling at 2 hosts" target, which needs real pod hardware)

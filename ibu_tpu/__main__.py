@@ -24,6 +24,24 @@ subcommands:
 
 ``info``/``decode`` are pure host; ``stats``/``histogram``/``export-fastq``
 run on the jax device mesh; ``sort`` uses the native external merge sort.
+
+``stats``, ``histogram``, and ``sort --engine mesh`` also run **pod-wide**:
+launch the same command on every host of a slice with ``--distributed``
+and the work shards across all hosts (the multihost engines of
+``ibu_tpu.parallel.multihost``). On a real TPU pod the cohort
+auto-discovers itself; off-pod stand-ins pin it explicitly::
+
+    # on every host of the slice (TPU pod: no extra flags needed)
+    python -m ibu_tpu stats data.ibu --distributed
+
+    # 2-process CPU stand-in (host A and host B)
+    python -m ibu_tpu stats data.ibu --distributed \\
+        --coordinator hostA:9876 --num-processes 2 --process-id 0  # on A
+    python -m ibu_tpu stats data.ibu --distributed \\
+        --coordinator hostA:9876 --num-processes 2 --process-id 1  # on B
+
+Results print once (process 0); ``sort`` writes the shared output file
+cooperatively (every host pwrites its own shards' byte ranges).
 """
 
 from __future__ import annotations
@@ -33,6 +51,51 @@ import json
 import sys
 
 from ibu_tpu.errors import IbuError
+
+
+def _add_distributed_args(p) -> None:
+    g = p.add_argument_group(
+        "distributed",
+        "run as one process of a jax.distributed cohort (launch the same "
+        "command on every host of the pod slice; results print on "
+        "process 0)",
+    )
+    g.add_argument("--distributed", action="store_true",
+                   help="join the cohort before running (TPU pods "
+                        "auto-discover it; elsewhere pin it with the three "
+                        "flags below)")
+    g.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="coordinator address (process 0's host)")
+    g.add_argument("--num-processes", type=int, default=None)
+    g.add_argument("--process-id", type=int, default=None)
+
+
+def _maybe_init_distributed(args) -> bool:
+    """Join the jax.distributed cohort when ``--distributed`` was given.
+
+    Must run after :func:`apply_platform_env` and before any other jax
+    backend use. Returns True when this process is part of a multi-process
+    cohort (callers print results on process 0 only).
+    """
+    if not getattr(args, "distributed", False):
+        return False
+    import jax
+
+    kwargs = {}
+    if args.coordinator:
+        kwargs["coordinator_address"] = args.coordinator
+    if args.num_processes is not None:
+        kwargs["num_processes"] = args.num_processes
+    if args.process_id is not None:
+        kwargs["process_id"] = args.process_id
+    jax.distributed.initialize(**kwargs)
+    return jax.process_count() > 1
+
+
+def _is_rank0() -> bool:
+    import jax
+
+    return jax.process_index() == 0
 
 
 def cmd_info(args) -> int:
@@ -76,6 +139,24 @@ def cmd_stats(args) -> int:
 
     with open(args.path, "rb") as f:
         kind = sniff_compression(f.read(4))
+
+    if args.distributed:
+        if args.engine == "native":
+            print("--distributed shards over the jax device mesh; drop "
+                  "--engine native", file=sys.stderr)
+            return 2
+        if kind is not None:
+            print(f"{args.path} is {kind}-compressed; --distributed needs "
+                  "per-host random access — decompress first",
+                  file=sys.stderr)
+            return 1
+        _maybe_init_distributed(args)
+        from ibu_tpu.parallel.multihost import multihost_file_stats
+
+        stats = multihost_file_stats(args.path)
+        if _is_rank0():
+            print(json.dumps(stats))
+        return 0
 
     if args.engine == "native":
         if kind is not None:
@@ -122,6 +203,10 @@ def cmd_sort(args) -> int:
     from ibu_tpu.pipelines import _require_plain
 
     _require_plain(args.input, "sort")
+    if args.distributed and args.engine != "mesh":
+        print("--distributed requires --engine mesh (the pod-wide sample "
+              "sort); native/device sorts are single-host", file=sys.stderr)
+        return 2
     if args.engine in ("device", "mesh"):
         if args.chunk_records or args.threads:
             print("--chunk-records/--threads only apply to --engine native "
@@ -131,9 +216,12 @@ def cmd_sort(args) -> int:
 
         apply_platform_env()
         if args.engine == "mesh":
-            from ibu_tpu.parallel.sort import sort_file_mesh
+            _maybe_init_distributed(args)
+            from ibu_tpu.parallel.multihost import multihost_sort_file
 
-            sort_file_mesh(args.input, args.output)
+            multihost_sort_file(args.input, args.output)
+            if not _is_rank0():
+                return 0
         else:
             from ibu_tpu.pipelines import sort_file_device
 
@@ -168,28 +256,46 @@ def cmd_histogram(args) -> int:
 
     with open(args.path, "rb") as f:
         kind = sniff_compression(f.read(4))
-    if kind is None:
-        reader = MmapReader(args.path)
-        bc_len = reader.header().bc_len
-        batches = record_batches_from_mmap(reader)
-    else:  # gzip/zstd: stream decoded batches into the same engines
-        from ibu_tpu import Reader
+    if args.distributed:
+        if kind is not None:
+            print(f"{args.path} is {kind}-compressed; --distributed needs "
+                  "per-host random access — decompress first",
+                  file=sys.stderr)
+            return 1
+        _maybe_init_distributed(args)
+        from ibu_tpu.parallel.multihost import multihost_barcode_histogram
 
-        r = Reader.from_path(args.path)
-        bc_len = r.header().bc_len
-        batches = r.batches()
-    if args.device_table:
-        from ibu_tpu.parallel.device import DeviceHistogram
-
-        hist = DeviceHistogram(
-            capacity=args.device_table,
-            max_uniques_per_shard=args.max_uniques,
-        ).run(batches)
-    else:
-        hist = sharded_barcode_histogram(
-            batches,
+        hist = multihost_barcode_histogram(
+            args.path,
+            capacity=args.device_table or (1 << 20),
             max_uniques_per_shard=args.max_uniques,
         )
+        if not _is_rank0():
+            return 0
+        bc_len = MmapReader(args.path).header().bc_len
+    else:
+        if kind is None:
+            reader = MmapReader(args.path)
+            bc_len = reader.header().bc_len
+            batches = record_batches_from_mmap(reader)
+        else:  # gzip/zstd: stream decoded batches into the same engines
+            from ibu_tpu import Reader
+
+            r = Reader.from_path(args.path)
+            bc_len = r.header().bc_len
+            batches = r.batches()
+        if args.device_table:
+            from ibu_tpu.parallel.device import DeviceHistogram
+
+            hist = DeviceHistogram(
+                capacity=args.device_table,
+                max_uniques_per_shard=args.max_uniques,
+            ).run(batches)
+        else:
+            hist = sharded_barcode_histogram(
+                batches,
+                max_uniques_per_shard=args.max_uniques,
+            )
     top = sorted(hist.items(), key=lambda kv: -kv[1])[: args.top]
     for barcode, count in top:
         seq = C.decode_seqs(np.array([barcode], dtype=np.uint64), bc_len)[0]
@@ -512,6 +618,7 @@ def main(argv=None) -> int:
              "threaded host engine (fastest when no accelerator is "
              "attached)",
     )
+    _add_distributed_args(p)
     p.set_defaults(fn=cmd_stats)
 
     p = sub.add_parser("sort", help="sorted rewrite (native external merge "
@@ -526,6 +633,7 @@ def main(argv=None) -> int:
                         "device mesh (files up to the mesh's total HBM)")
     p.add_argument("--chunk-records", type=int, default=0)
     p.add_argument("--threads", type=int, default=0)
+    _add_distributed_args(p)
     p.set_defaults(fn=cmd_sort)
 
     p = sub.add_parser("histogram", help="per-barcode counts")
@@ -535,7 +643,10 @@ def main(argv=None) -> int:
                    help="per-shard unique-barcode capacity")
     p.add_argument("--device-table", type=int, default=0, metavar="CAP",
                    help="merge shards on device in a CAP-entry table "
-                        "(bounded barcode spaces; default: host-dict merge)")
+                        "(bounded barcode spaces; default: host-dict merge; "
+                        "--distributed always uses the device table, "
+                        "spilling exactly past CAP)")
+    _add_distributed_args(p)
     p.set_defaults(fn=cmd_histogram)
 
     p = sub.add_parser("decode", help="records → TSV (barcode, umi, index)")

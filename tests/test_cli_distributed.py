@@ -1,0 +1,157 @@
+"""CLI-level pod-cohort tests: ``python -m ibu_tpu <cmd> --distributed``
+run as a real 2-process jax.distributed CPU cluster (the same launch shape
+a pod operator uses — one identical command per host), verifying rank-0-only
+output and cross-rank correctness."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from ibu_tpu import Header, MmapReader, Writer
+from ibu_tpu.constructs.record import make_records
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _cohort_env() -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    return env
+
+
+def _run_cohort(cli_args: list, nprocs: int = 2, timeout: int = 150):
+    """Launch the SAME CLI command on every 'host', pinned into one cohort."""
+    port = _free_port()
+    env = _cohort_env()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "ibu_tpu", *cli_args,
+             "--distributed", "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", str(nprocs), "--process-id", str(r)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        )
+        for r in range(nprocs)
+    ]
+    outs = [p.communicate(timeout=timeout) for p in procs]
+    for r, (out, err) in enumerate(outs):
+        assert procs[r].returncode == 0, f"rank {r} failed:\n{err[-3000:]}"
+    # The CPU stand-in's Gloo backend prints connection banners to stdout
+    # from C++ (real TPU pods coordinate without Gloo), and its unbuffered
+    # writes can TEAR mid-line against Python's, so tests must select the
+    # recognizable CLI lines rather than assert raw stdout emptiness.
+    return outs
+
+
+@pytest.fixture(scope="module")
+def data_file(tmp_path_factory):
+    n = 60_003  # odd: exercises the remainder partition across ranks
+    i = np.arange(n, dtype=np.uint64)
+    path = str(tmp_path_factory.mktemp("clid") / "in.ibu")
+    with Writer.from_path(path, Header.new(16, 12)) as w:
+        w.write_batch(
+            make_records(i % np.uint64(64), i * np.uint64(2), i)
+        )
+    return path, n
+
+
+@pytest.mark.slow
+def test_cli_distributed_stats(data_file):
+    path, n = data_file
+    outs = _run_cohort(["stats", path])
+    s = n * (n - 1) // 2
+    want = {
+        "count": n,
+        "barcode_sum": sum(k % 64 for k in range(n)),
+        "umi_sum": 2 * s,
+        "index_sum": s,
+    }
+    json_lines = [l for l in outs[0][0].splitlines() if l.startswith("{")]
+    assert len(json_lines) == 1, outs[0][0]
+    assert json.loads(json_lines[0]) == want
+    assert not any(l.startswith("{") for l in outs[1][0].splitlines()), (
+        "rank 1 must print no result"
+    )
+
+
+@pytest.mark.slow
+def test_cli_distributed_histogram(data_file):
+    path, n = data_file
+    import re
+
+    outs = _run_cohort(["histogram", path, "--top", "64"])
+    row = re.compile(r"^[ACGT]{16}\t\d+$")
+    lines = [l for l in outs[0][0].splitlines() if row.match(l)]
+    assert len(lines) == 64, outs[0][0]
+    counts = {}
+    for line in lines:
+        seq, cnt = line.split("\t")
+        counts[seq] = int(cnt)
+    # barcodes cycle 0..63 over 60_003 records: 0,1,2 appear 938 times
+    assert sum(counts.values()) == n
+    assert counts["AAAAAAAAAAAAAAAA"] == -(-n // 64)
+    assert not any(row.match(l) for l in outs[1][0].splitlines()), (
+        "rank 1 must print no rows"
+    )
+
+
+@pytest.mark.slow
+def test_cli_distributed_sort(tmp_path):
+    n = 49_999
+    rng = np.random.default_rng(7)
+    path = str(tmp_path / "in.ibu")
+    out = str(tmp_path / "out.ibu")
+    with Writer.from_path(path, Header.new(16, 12)) as w:
+        w.write_batch(
+            make_records(
+                rng.integers(0, 1 << 32, n).astype(np.uint64),
+                rng.integers(0, 1 << 24, n).astype(np.uint64),
+                rng.integers(0, 1 << 32, n).astype(np.uint64),
+            )
+        )
+    outs = _run_cohort(["sort", path, out, "--engine", "mesh"])
+    assert "sorted" in outs[0][0]
+    assert "sorted" not in outs[1][0], "rank 1 must print no result"
+    got = MmapReader(out)
+    src = MmapReader(path)
+    want = np.sort(np.asarray(src.records), order=("barcode", "umi", "index"))
+    assert got.header().sorted()
+    assert got.len() == n
+    assert np.array_equal(np.asarray(got.records), want)
+
+
+def test_cli_distributed_flag_validation(tmp_path):
+    """--distributed refuses engines/inputs it cannot shard (fast, no cohort)."""
+    path = str(tmp_path / "t.ibu")
+    with Writer.from_path(path, Header.new(16, 12)) as w:
+        w.write_batch(make_records(
+            np.arange(4, dtype=np.uint64),
+            np.arange(4, dtype=np.uint64),
+            np.arange(4, dtype=np.uint64),
+        ))
+    env = _cohort_env()
+    r = subprocess.run(
+        [sys.executable, "-m", "ibu_tpu", "stats", path,
+         "--engine", "native", "--distributed"],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 2 and "drop --engine native" in r.stderr
+    r = subprocess.run(
+        [sys.executable, "-m", "ibu_tpu", "sort", path,
+         str(tmp_path / "o.ibu"), "--distributed"],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 2 and "--engine mesh" in r.stderr

@@ -104,6 +104,7 @@ class Writer:
         header: Header,
         compression: str | None = None,
         level: int | None = None,
+        threads: int = -1,
     ) -> "Writer":
         """Open ``path`` and write ``header``.
 
@@ -113,6 +114,9 @@ class Writer:
         compress the output, ``"auto"`` infers from the extension
         (``.gz``/``.zst``/``.zstd``). Readers sniff magic bytes, so
         compressed files roundtrip through ``Reader.from_path`` unchanged.
+        ``threads`` sets the zstd worker count (``-1`` = all cores —
+        compression dominates a zstd write's CPU; see
+        :func:`ibu_tpu.io.compression.wrap_compress`).
         """
         if compression is None:
             try:
@@ -124,7 +128,7 @@ class Writer:
             return w
         from ibu_tpu.io.compression import open_compressed
 
-        f = open_compressed(path, compression, level)
+        f = open_compressed(path, compression, level, threads)
         return cls(f, header)
 
     @classmethod

@@ -231,6 +231,33 @@ class TestCompression:
         p.write_bytes(zstd.ZstdCompressor().compress(raw))
         assert len(list(Reader.from_path(str(p)))) == 50
 
+    def test_zstd_threaded_write_roundtrips(self, tmp_path):
+        # threads=-1 (the default: multithreaded zstd frames) and
+        # threads=0 (single worker) must both produce standard frames
+        # that decode to identical records
+        pytest.importorskip("zstandard")
+        import numpy as np
+
+        from ibu_tpu.constructs.record import make_records
+        from ibu_tpu.io.writer import Writer
+
+        n = 500_000
+        i = np.arange(n, dtype=np.uint64)
+        recs = make_records(i, i * np.uint64(2), i * np.uint64(3))
+        outs = []
+        for threads in (-1, 0):
+            p = tmp_path / f"t{threads}.ibu.zst"
+            with Writer.from_path(str(p), Header.new(16, 12),
+                                  compression="zstd", threads=threads) as w:
+                w.write_batch(recs)
+            got = np.concatenate(
+                [np.asarray(b) for b in Reader.from_path(str(p)).batches()]
+            )
+            assert np.array_equal(got, recs)
+            outs.append(p.stat().st_size)
+        # both really compressed (not stored)
+        assert all(sz < 24 * n for sz in outs)
+
 
 class TestLoadToVec:
     def test_basic(self, tmp_path):

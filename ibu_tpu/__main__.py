@@ -25,7 +25,8 @@ subcommands:
 ``info``/``decode`` are pure host; ``stats``/``histogram``/``export-fastq``
 run on the jax device mesh; ``sort`` uses the native external merge sort.
 
-``stats``, ``histogram``, and ``sort --engine mesh`` also run **pod-wide**:
+``stats``, ``histogram``, ``dedup``, and ``sort --engine mesh`` also run
+**pod-wide**:
 launch the same command on every host of a slice with ``--distributed``
 and the work shards across all hosts (the multihost engines of
 ``ibu_tpu.parallel.multihost``). On a real TPU pod the cohort
@@ -509,10 +510,20 @@ def cmd_dedup(args) -> int:
     from ibu_tpu.utils import apply_platform_env
 
     apply_platform_env()  # unsorted inputs may pre-sort on the device
-    from ibu_tpu.pipelines import dedup_file
-
     assume = {"auto": None, "yes": True, "no": False}[args.assume_sorted]
-    stats = dedup_file(args.input, args.output, assume_sorted=assume)
+    if args.distributed:
+        _maybe_init_distributed(args)
+        from ibu_tpu.parallel.multihost import multihost_dedup_file
+
+        stats = multihost_dedup_file(
+            args.input, args.output, assume_sorted=assume
+        )
+        if not _is_rank0():
+            return 0
+    else:
+        from ibu_tpu.pipelines import dedup_file
+
+        stats = dedup_file(args.input, args.output, assume_sorted=assume)
     print(
         f"dedup {args.input} -> {args.output}: {stats['records']} reads -> "
         f"{stats['molecules']} molecules across {stats['barcodes']} barcodes"
@@ -810,6 +821,7 @@ def main(argv=None) -> int:
              "even without the flag (order is still verified during the "
              "pass); no: force a pre-sort (the fix for a lying flag)",
     )
+    _add_distributed_args(p)
     p.set_defaults(fn=cmd_dedup)
 
     p = sub.add_parser("ingest-fastq",

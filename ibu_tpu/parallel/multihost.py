@@ -417,6 +417,135 @@ def multihost_sort_file(
     multihost_utils.sync_global_devices("ibu_multihost_sort_written")
 
 
+def multihost_dedup_file(
+    in_path: str,
+    out_path: str,
+    mesh: Mesh | None = None,
+    assume_sorted: bool | None = None,
+    batch_records: int = 4 * 1024 * 1024,
+) -> dict:
+    """Pod-scale UMI dedup: one record per distinct (barcode, umi) pair,
+    across all hosts of a slice.
+
+    The multi-process generalization of
+    :func:`ibu_tpu.pipelines.dedup_file`. Unsorted inputs first run the
+    pod-wide mesh sample sort (:func:`multihost_sort_file` — the
+    device-heavy stage); the dedup itself partitions the sorted file by
+    the reference rule (``mmap.rs:297-307``) and each process streams ONLY
+    its record range:
+
+    * the one-record carry at a range boundary is read directly from the
+      shared mmap (``records[start-1]``) — no communication;
+    * pass 1 counts each range's kept records (vectorized keep-mask,
+      verifying sort order like the single-host pass), one allgather
+      turns the counts into exact output byte offsets;
+    * process 0 pre-creates the output (header + truncate) behind a
+      barrier, then every process pwrites its kept records at its offset.
+
+    ``in_path``/``out_path`` must be on a filesystem all hosts share (the
+    same contract as :func:`multihost_sort_file`). Returns
+    ``{"records", "molecules", "barcodes"}`` on every process.
+    """
+    from jax.experimental import multihost_utils
+
+    from ibu_tpu.constructs.header import HEADER_SIZE, Header
+    from ibu_tpu.constructs.record import RECORD_SIZE
+    from ibu_tpu.pipelines import (
+        _dedup_batch_masks,
+        _lex_nondecreasing,
+        _require_plain,
+        dedup_file,
+    )
+
+    if jax.process_count() == 1:
+        return dedup_file(
+            in_path, out_path, batch_records=batch_records,
+            assume_sorted=assume_sorted,
+        )
+
+    _require_plain(in_path, "dedup")
+    reader = MmapReader(in_path)
+    header = reader.header()
+    # every process reads the same header bytes and was launched with the
+    # same flags, so this branch is cohort-uniform
+    sorted_in = header.sorted() if assume_sorted is None else assume_sorted
+
+    tmp = None
+    if not sorted_in:
+        tmp = out_path + ".mhsort.tmp"  # deterministic: shared by all hosts
+        multihost_sort_file(in_path, tmp, mesh=mesh)
+        reader = MmapReader(tmp)
+
+    try:
+        n = reader.len()
+        records = reader.records
+        start, end = local_record_range(n)
+
+        def batches_with_prev():
+            prev = None
+            if start > 0 and end > start:
+                r = records[start - 1]
+                prev = (int(r["barcode"]), int(r["umi"]), int(r["index"]))
+            pos = start
+            while pos < end:
+                stop = min(pos + batch_records, end)
+                batch = np.asarray(records[pos:stop])
+                bc, umi, idx = (
+                    batch["barcode"], batch["umi"], batch["index"],
+                )
+                if not _lex_nondecreasing(bc, umi, idx, prev):
+                    raise ValueError(
+                        f"{in_path}: records are not in sorted order near "
+                        f"record {pos} despite the sorted flag; re-sort, "
+                        "or pass assume_sorted=False (CLI: "
+                        "--assume-sorted no)"
+                    )
+                keep, bc_first = _dedup_batch_masks(bc, umi, prev)
+                prev = (int(bc[-1]), int(umi[-1]), int(idx[-1]))
+                yield batch, keep, bc_first
+                pos = stop
+
+        kept = bc_firsts = 0
+        for _, keep, bc_first in batches_with_prev():
+            kept += int(keep.sum())
+            bc_firsts += int(bc_first.sum())
+
+        gathered = multihost_utils.process_allgather(
+            np.asarray([[kept, bc_firsts]], dtype=np.int64)
+        ).reshape(jax.process_count(), 2)
+        total_kept = int(gathered[:, 0].sum())
+        my_offset = int(gathered[: jax.process_index(), 0].sum())
+
+        out_header = Header.new(header.bc_len, header.umi_len)
+        out_header.flags = header.flags
+        out_header.set_sorted()
+        if jax.process_index() == 0:
+            with open(out_path, "wb") as f:
+                f.write(out_header.as_bytes())
+                f.truncate(HEADER_SIZE + RECORD_SIZE * total_kept)
+        multihost_utils.sync_global_devices("ibu_multihost_dedup_created")
+
+        pos_out = HEADER_SIZE + RECORD_SIZE * my_offset
+        fd = os.open(out_path, os.O_WRONLY)
+        try:
+            for batch, keep, _ in batches_with_prev():
+                data = np.ascontiguousarray(batch[keep]).tobytes()
+                os.pwrite(fd, data, pos_out)
+                pos_out += len(data)
+        finally:
+            os.close(fd)
+        multihost_utils.sync_global_devices("ibu_multihost_dedup_written")
+    finally:
+        if tmp is not None and jax.process_index() == 0:
+            os.unlink(tmp)
+
+    return {
+        "records": n,
+        "molecules": total_kept,
+        "barcodes": int(gathered[:, 1].sum()),
+    }
+
+
 def multihost_map_reduce(
     path: str,
     engine,

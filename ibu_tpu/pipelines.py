@@ -645,6 +645,26 @@ def _lex_nondecreasing(
     return True
 
 
+def _dedup_batch_masks(bc, umi, prev):
+    """Vectorized per-batch dedup masks against a one-record carry.
+
+    Returns ``(keep, bc_first)``: ``keep[i]`` marks the first record of a
+    distinct (barcode, umi) pair, ``bc_first[i]`` the first record of a
+    distinct barcode — both relative to the previous record ``prev``
+    (``(bc, umi, idx)`` ints, or None at the very start). Shared by the
+    single-host streaming pass and the multihost range pass.
+    """
+    keep = np.empty(len(bc), dtype=bool)
+    keep[1:] = (bc[1:] != bc[:-1]) | (umi[1:] != umi[:-1])
+    keep[0] = prev is None or (
+        int(bc[0]) != prev[0] or int(umi[0]) != prev[1]
+    )
+    bc_first = np.empty(len(bc), dtype=bool)
+    bc_first[1:] = bc[1:] != bc[:-1]
+    bc_first[0] = prev is None or int(bc[0]) != prev[0]
+    return keep, bc_first
+
+
 def dedup_file(
     in_path: str,
     out_path: str,
@@ -727,14 +747,7 @@ def dedup_file(
                         "or pass assume_sorted=False (CLI: "
                         "--assume-sorted no)"
                     )
-                keep = np.empty(len(batch), dtype=bool)
-                keep[1:] = (bc[1:] != bc[:-1]) | (umi[1:] != umi[:-1])
-                keep[0] = prev is None or (
-                    int(bc[0]) != prev[0] or int(umi[0]) != prev[1]
-                )
-                bc_first = np.empty(len(batch), dtype=bool)
-                bc_first[1:] = bc[1:] != bc[:-1]
-                bc_first[0] = prev is None or int(bc[0]) != prev[0]
+                keep, bc_first = _dedup_batch_masks(bc, umi, prev)
                 w.write_batch(batch[keep])
                 records += len(batch)
                 molecules += int(keep.sum())

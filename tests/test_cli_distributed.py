@@ -133,6 +133,45 @@ def test_cli_distributed_sort(tmp_path):
     assert np.array_equal(np.asarray(got.records), want)
 
 
+@pytest.mark.slow
+def test_cli_distributed_dedup(tmp_path):
+    """Pod-wide dedup of an UNSORTED duplicate-heavy file: runs the
+    multihost mesh sort first, then the range-partitioned dedup pass with
+    cross-rank boundary carries; verified against a numpy oracle."""
+    n = 40_000
+    rng = np.random.default_rng(3)
+    path = str(tmp_path / "in.ibu")
+    out = str(tmp_path / "out.ibu")
+    # ~6 reads per (bc, umi) pair on average → heavy duplication, and
+    # hot pairs straddle the rank boundary after sorting
+    bc = rng.integers(0, 64, n).astype(np.uint64)
+    umi = rng.integers(0, 100, n).astype(np.uint64)
+    idx = rng.integers(0, 1 << 20, n).astype(np.uint64)
+    with Writer.from_path(path, Header.new(16, 12)) as w:
+        w.write_batch(make_records(bc, umi, idx))
+    outs = _run_cohort(["dedup", path, out])
+    pairs = {}
+    for b, u, x in zip(bc, umi, idx):
+        key = (int(b), int(u))
+        pairs[key] = min(pairs.get(key, 1 << 62), int(x))
+    want = np.array(
+        sorted((b, u, x) for (b, u), x in pairs.items()),
+        dtype=np.uint64,
+    )
+    got = MmapReader(out)
+    assert got.header().sorted()
+    assert got.len() == len(pairs)
+    arr = np.asarray(got.records)
+    assert np.array_equal(arr["barcode"], want[:, 0])
+    assert np.array_equal(arr["umi"], want[:, 1])
+    assert np.array_equal(arr["index"], want[:, 2])
+    line = [l for l in outs[0][0].splitlines() if l.startswith("dedup ")]
+    assert line and f"{n} reads -> {len(pairs)} molecules" in line[0]
+    assert f"across {len(set(int(b) for b in bc))} barcodes" in line[0]
+    assert not any(l.startswith("dedup ") for l in outs[1][0].splitlines())
+    assert not os.path.exists(out + ".mhsort.tmp"), "sort temp not cleaned"
+
+
 def test_cli_distributed_flag_validation(tmp_path):
     """--distributed refuses engines/inputs it cannot shard (fast, no cohort)."""
     path = str(tmp_path / "t.ibu")

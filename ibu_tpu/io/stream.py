@@ -55,6 +55,60 @@ def prefetched(items, depth: int):
         yield item
 
 
+def thread_prefetched(items, depth: int = 2):
+    """Produce ``items`` in a BACKGROUND THREAD, up to ``depth`` ahead.
+
+    :func:`prefetched` overlaps production only with the consumer's
+    *asynchronous device* work (production still runs on the consumer's
+    thread); this variant moves production onto its own thread, so
+    CPU-bound producers — gzip/zstd decompression, FASTQ parsing — overlap
+    with the consumer's own CPU work too (numpy holds the GIL only inside
+    C loops, so parse and encode genuinely interleave). Exceptions raised
+    by the producer re-raise at the consumer's next pull; abandoning the
+    generator (early ``break``/``close``) stops the producer promptly
+    instead of leaving it blocked on a full queue.
+    """
+    import queue as _queue
+    import threading
+
+    q: _queue.Queue = _queue.Queue(maxsize=max(1, depth))
+    END = object()
+    stop = threading.Event()
+    err: list = []
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except _queue.Full:
+                pass
+        return False
+
+    def produce():
+        try:
+            for item in items:
+                if not _put(item):
+                    return
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            err.append(e)
+        finally:
+            _put(END)
+
+    t = threading.Thread(target=produce, daemon=True, name="ibu-prefetch")
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is END:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+
+
 class DeviceStream:
     """Prefetching iterator of device-placed record batches.
 

@@ -422,6 +422,47 @@ class TestIngestFastq:
         with pytest.raises(ValueError, match="shorter than"):
             ingest_fastq(str(fq), str(tmp_path / "s.ibu"), 16, 12)
 
+    def test_parser_chunk_boundaries_crlf_and_no_final_newline(self, tmp_path):
+        """The vectorized parser must be exact when lines straddle chunk
+        boundaries (tiny chunk_bytes forces a carry on nearly every read),
+        under CRLF endings, and when the last line has no newline."""
+        from ibu_tpu.pipelines import fastq_prefix_batches
+
+        rng = np.random.default_rng(5)
+        alphabet = np.frombuffer(b"ACGT", dtype=np.uint8)
+        seqs = [bytes(rng.choice(alphabet, 28)) for _ in range(503)]
+        fq = tmp_path / "b.fastq"
+        body = b"".join(
+            b"@read%d\r\n%s\r\n+\r\n%s\r\n" % (i, s, b"I" * 28)
+            for i, s in enumerate(seqs)
+        )
+        fq.write_bytes(body[:-2])  # drop the final \r\n entirely
+        got = np.concatenate(
+            list(fastq_prefix_batches(str(fq), 28, batch=100, chunk_bytes=37))
+        )
+        want = np.frombuffer(b"".join(seqs), dtype=np.uint8).reshape(-1, 28)
+        assert np.array_equal(got, want)
+        # batch sizes are exact (100) with one remainder
+        sizes = [
+            len(b)
+            for b in fastq_prefix_batches(str(fq), 28, batch=100,
+                                          chunk_bytes=37)
+        ]
+        assert sizes == [100] * 5 + [3]
+
+    def test_short_read_error_reports_physical_line(self, tmp_path):
+        """The 1-based line number in the short-read error must survive
+        chunked parsing (read #2's sequence is physical line 6)."""
+        from ibu_tpu.pipelines import fastq_prefix_batches
+
+        fq = tmp_path / "ln.fastq"
+        seq = b"ACGTACGTACGTACGTACGTACGTACGT"
+        fq.write_bytes(
+            b"@r0\n%s\n+\n%s\n@r1\nACG\n+\nIII\n" % (seq, b"I" * 28)
+        )
+        with pytest.raises(ValueError, match="line 6 is 3 bases"):
+            list(fastq_prefix_batches(str(fq), 28, chunk_bytes=11))
+
     def test_gzip_fastq_without_gz_suffix(self, tmp_path):
         """Compression is sniffed by magic bytes, not extension (ADVICE r1):
         a gzipped FASTQ named '.fastq' must ingest identically."""

@@ -91,3 +91,58 @@ class TestStreamDefaults:
             env={"PATH": "/usr/bin:/bin", "PYTHONPATH": REPO},
         )
         assert out.returncode == 0 and out.stdout.strip() == "ok", out.stderr
+
+
+class TestThreadPrefetched:
+    """Background-thread producer used by ingest_fastq (CPU-bound parse
+    overlapping the consumer's encode)."""
+
+    def test_order_and_completeness(self):
+        from ibu_tpu.io.stream import thread_prefetched
+
+        assert list(thread_prefetched(iter(range(1000)), depth=3)) == list(
+            range(1000)
+        )
+
+    def test_producer_exception_reraises_in_consumer(self):
+        import pytest
+
+        from ibu_tpu.io.stream import thread_prefetched
+
+        def gen():
+            yield 1
+            yield 2
+            raise RuntimeError("parse failed at line 9")
+
+        it = thread_prefetched(gen(), depth=2)
+        assert next(it) == 1 and next(it) == 2
+        with pytest.raises(RuntimeError, match="line 9"):
+            next(it)
+
+    def test_early_abandon_stops_producer(self):
+        import threading
+        import time
+
+        from ibu_tpu.io.stream import thread_prefetched
+
+        produced = []
+
+        def gen():
+            for i in range(10_000):
+                produced.append(i)
+                yield i
+
+        it = thread_prefetched(gen(), depth=2)
+        for _, _ in zip(range(3), it):
+            pass
+        it.close()  # GeneratorExit -> stop event -> producer drains out
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            alive = [
+                t for t in threading.enumerate() if t.name == "ibu-prefetch"
+            ]
+            if not alive:
+                break
+            time.sleep(0.05)
+        assert not alive, "producer thread still running after close()"
+        assert len(produced) < 10_000, "producer ran to completion anyway"

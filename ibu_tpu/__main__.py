@@ -25,8 +25,8 @@ subcommands:
 ``info``/``decode`` are pure host; ``stats``/``histogram``/``export-fastq``
 run on the jax device mesh; ``sort`` uses the native external merge sort.
 
-``stats``, ``histogram``, ``dedup``, and ``sort --engine mesh`` also run
-**pod-wide**:
+``stats``, ``histogram``, ``dedup``, ``filter``, ``correct``, and
+``sort --engine mesh`` also run **pod-wide**:
 launch the same command on every host of a slice with ``--distributed``
 and the work shards across all hosts (the multihost engines of
 ``ibu_tpu.parallel.multihost``). On a real TPU pod the cohort
@@ -404,7 +404,21 @@ def cmd_filter(args) -> int:
     _require_plain(args.input, "filter")  # before the bc_len mmap below
     bc_len = MmapReader(args.input).header().bc_len
     allow = _parse_barcode_list(args.barcodes, bc_len)
-    stats = filter_file(args.input, args.output, allow, invert=args.invert)
+    if args.distributed:
+        from ibu_tpu.utils import apply_platform_env
+
+        apply_platform_env()
+        _maybe_init_distributed(args)
+        from ibu_tpu.parallel.multihost import multihost_filter_file
+
+        stats = multihost_filter_file(
+            args.input, args.output, allow, invert=args.invert
+        )
+        if not _is_rank0():
+            return 0
+    else:
+        stats = filter_file(args.input, args.output, allow,
+                            invert=args.invert)
     mode = "blocklist" if args.invert else "allowlist"
     print(
         f"filter {args.input} -> {args.output}: kept {stats['kept']} of "
@@ -495,8 +509,19 @@ def cmd_correct(args) -> int:
     _require_plain(args.input, "correct")  # before the bc_len mmap below
     bc_len = MmapReader(args.input).header().bc_len
     allow = _parse_barcode_list(args.barcodes, bc_len)
-    stats = correct_file(args.input, args.output, allow,
-                         keep_unmatched=args.keep_unmatched)
+    if args.distributed:
+        _maybe_init_distributed(args)
+        from ibu_tpu.parallel.multihost import multihost_correct_file
+
+        stats = multihost_correct_file(
+            args.input, args.output, allow,
+            keep_unmatched=args.keep_unmatched,
+        )
+        if not _is_rank0():
+            return 0
+    else:
+        stats = correct_file(args.input, args.output, allow,
+                             keep_unmatched=args.keep_unmatched)
     print(
         f"correct {args.input} -> {args.output}: {stats['exact']} exact, "
         f"{stats['corrected']} corrected, {stats['dropped']} "
@@ -738,6 +763,7 @@ def main(argv=None) -> int:
         "--invert", action="store_true",
         help="keep records whose barcode is NOT in the list",
     )
+    _add_distributed_args(p)
     p.set_defaults(fn=cmd_filter)
 
     p = sub.add_parser(
@@ -805,6 +831,7 @@ def main(argv=None) -> int:
         help="pass unmatched/ambiguous records through unchanged instead "
              "of dropping them",
     )
+    _add_distributed_args(p)
     p.set_defaults(fn=cmd_correct)
 
     p = sub.add_parser(

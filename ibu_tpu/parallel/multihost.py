@@ -546,6 +546,238 @@ def multihost_dedup_file(
     }
 
 
+def _multihost_rewrite(
+    reader: MmapReader,
+    out_path: str,
+    out_header,
+    transform,
+    batch_records: int,
+    stat_keys: tuple = (),
+    track_order: bool = False,
+):
+    """Range-partitioned streaming record rewrite across the cohort.
+
+    The shared engine under :func:`multihost_filter_file` and
+    :func:`multihost_correct_file`: the input partitions by the reference
+    rule, each process streams only its range through ``transform(batch)
+    -> (out_records, {stat: int})``, one allgather of kept counts (+ stat
+    sums) becomes exact output byte offsets, and every process pwrites its
+    output behind a create barrier. ``transform`` must be deterministic —
+    it runs twice (count pass, then write pass) so memory stays bounded at
+    one batch, the same cost model as :func:`multihost_dedup_file`.
+
+    With ``track_order=True`` the return includes whether the GLOBAL
+    written stream is lexicographically nondecreasing (each rank verifies
+    its own stream; rank-boundary pairs check after the allgather) — the
+    caller can then patch the sorted flag, replacing the single-host
+    pass's running verification.
+
+    Returns ``(total_kept, {stat: total}, globally_sorted | None)``.
+    """
+    from jax.experimental import multihost_utils
+
+    from ibu_tpu.constructs.header import HEADER_SIZE
+    from ibu_tpu.constructs.record import RECORD_SIZE
+    from ibu_tpu.pipelines import _lex_nondecreasing
+
+    n = reader.len()
+    records = reader.records
+    start, end = local_record_range(n)
+
+    def out_batches():
+        for pos in range(start, end, batch_records):
+            batch = np.asarray(records[pos:min(pos + batch_records, end)])
+            yield transform(batch)
+
+    kept = 0
+    stats = dict.fromkeys(stat_keys, 0)
+    local_sorted = True
+    first = last = None
+    for out, inc in out_batches():
+        kept += len(out)
+        for k in stat_keys:
+            stats[k] += int(inc.get(k, 0))
+        if track_order and len(out):
+            if local_sorted and not _lex_nondecreasing(
+                out["barcode"], out["umi"], out["index"], last
+            ):
+                local_sorted = False
+            tail = out[-1]
+            last = (int(tail["barcode"]), int(tail["umi"]),
+                    int(tail["index"]))
+            if first is None:
+                head = out[0]
+                first = (int(head["barcode"]), int(head["umi"]),
+                         int(head["index"]))
+
+    # one allgather: kept, stat sums, and (when order-tracked) the local
+    # sorted verdict + boundary triples, all as uint64 lanes
+    lane = [kept] + [stats[k] for k in stat_keys]
+    if track_order:
+        lane += [int(local_sorted), int(first is not None)]
+        lane += list(first or (0, 0, 0)) + list(last or (0, 0, 0))
+    gathered = multihost_utils.process_allgather(
+        np.asarray([lane], dtype=np.uint64)
+    ).reshape(jax.process_count(), len(lane))
+    total_kept = int(gathered[:, 0].sum())
+    totals = {
+        k: int(gathered[:, 1 + i].sum()) for i, k in enumerate(stat_keys)
+    }
+    globally_sorted = None
+    if track_order:
+        base = 1 + len(stat_keys)
+        globally_sorted = bool(gathered[:, base].all())
+        if globally_sorted:
+            prev_last = None
+            for row in gathered:
+                if not row[base + 1]:
+                    continue  # rank wrote nothing
+                r_first = tuple(int(v) for v in row[base + 2:base + 5])
+                if prev_last is not None and r_first < prev_last:
+                    globally_sorted = False
+                    break
+                prev_last = tuple(int(v) for v in row[base + 5:base + 8])
+
+    my_offset = int(gathered[: jax.process_index(), 0].sum())
+    if jax.process_index() == 0:
+        with open(out_path, "wb") as f:
+            f.write(out_header.as_bytes())
+            f.truncate(HEADER_SIZE + RECORD_SIZE * total_kept)
+    multihost_utils.sync_global_devices("ibu_multihost_rewrite_created")
+
+    pos_out = HEADER_SIZE + RECORD_SIZE * my_offset
+    fd = os.open(out_path, os.O_WRONLY)
+    try:
+        for out, _ in out_batches():
+            data = np.ascontiguousarray(out).tobytes()
+            os.pwrite(fd, data, pos_out)
+            pos_out += len(data)
+    finally:
+        os.close(fd)
+    multihost_utils.sync_global_devices("ibu_multihost_rewrite_written")
+    return total_kept, totals, globally_sorted
+
+
+def multihost_filter_file(
+    in_path: str,
+    out_path: str,
+    barcodes,
+    invert: bool = False,
+    batch_records: int = 4 * 1024 * 1024,
+) -> dict:
+    """Pod-scale allowlist filtering: :func:`ibu_tpu.pipelines.filter_file`
+    with every host streaming only its record range (shared-filesystem
+    contract of :func:`multihost_sort_file`). Record order — and therefore
+    the input's sorted flag — survives because the ranges are contiguous
+    and in rank order. Output is byte-identical to the single-host tool.
+    """
+    from ibu_tpu.constructs.header import Header
+    from ibu_tpu.pipelines import _require_plain, filter_file
+
+    if jax.process_count() == 1:
+        return filter_file(
+            in_path, out_path, barcodes, invert=invert,
+            batch_records=batch_records,
+        )
+
+    _require_plain(in_path, "filter_file")
+    allow = np.unique(np.asarray(list(barcodes), dtype=np.uint64))
+    reader = MmapReader(in_path)
+    header = reader.header()
+    out_header = Header.new(header.bc_len, header.umi_len)
+    out_header.flags = header.flags  # sorted flag survives
+
+    def transform(batch):
+        bc = batch["barcode"]
+        if len(allow):
+            pos = np.searchsorted(allow, bc)
+            pos[pos == len(allow)] = 0
+            mask = allow[pos] == bc
+        else:
+            mask = np.zeros(len(bc), dtype=bool)
+        if invert:
+            mask = ~mask
+        return batch[mask], {}
+
+    kept, _, _ = _multihost_rewrite(
+        reader, out_path, out_header, transform, batch_records
+    )
+    return {
+        "records": reader.len(),
+        "kept": kept,
+        "allowlist": int(len(allow)),
+    }
+
+
+def multihost_correct_file(
+    in_path: str,
+    out_path: str,
+    barcodes,
+    batch_records: int = 4 * 1024 * 1024,
+    keep_unmatched: bool = False,
+) -> dict:
+    """Pod-scale Hamming-1 barcode correction:
+    :func:`ibu_tpu.pipelines.correct_file` with every host streaming only
+    its record range. The output sorted flag follows the single-host
+    observed-order convention, verified ACROSS ranks (local verification +
+    boundary-pair checks through the count allgather); process 0 patches
+    the flag after the write barrier, so every returning process sees the
+    final header. Output bytes match the single-host tool exactly.
+    """
+    import struct
+
+    from jax.experimental import multihost_utils
+
+    from ibu_tpu.constructs.header import Header
+    from ibu_tpu.ops.correct import CORRECTED, DROP, EXACT, correct_batch
+    from ibu_tpu.pipelines import _require_plain, correct_file
+
+    if jax.process_count() == 1:
+        return correct_file(
+            in_path, out_path, barcodes, batch_records=batch_records,
+            keep_unmatched=keep_unmatched,
+        )
+
+    _require_plain(in_path, "correct_file")
+    allow = np.unique(np.asarray(list(barcodes), dtype=np.uint64))
+    reader = MmapReader(in_path)
+    header = reader.header()
+    out_header = Header.new(header.bc_len, header.umi_len)
+
+    def transform(batch):
+        batch = batch.copy()
+        fixed, status = correct_batch(batch["barcode"], allow, header.bc_len)
+        batch["barcode"] = fixed
+        keep = (
+            np.ones(len(batch), dtype=bool)
+            if keep_unmatched
+            else status != DROP
+        )
+        return batch[keep], {
+            "exact": int(np.count_nonzero(status == EXACT)),
+            "corrected": int(np.count_nonzero(status == CORRECTED)),
+            "dropped": int(np.count_nonzero(status == DROP)),
+        }
+
+    kept, totals, globally_sorted = _multihost_rewrite(
+        reader, out_path, out_header, transform, batch_records,
+        stat_keys=("exact", "corrected", "dropped"), track_order=True,
+    )
+    if globally_sorted and kept > 0 and jax.process_index() == 0:
+        out_header.set_sorted()
+        with open(out_path, "r+b") as f:
+            f.seek(16)
+            f.write(struct.pack("<Q", out_header.flags))
+    multihost_utils.sync_global_devices("ibu_multihost_correct_flag")
+    return {
+        "records": reader.len(),
+        "exact": totals["exact"],
+        "corrected": totals["corrected"],
+        "dropped": totals["dropped"],
+        "allowlist": int(len(allow)),
+    }
+
+
 def multihost_map_reduce(
     path: str,
     engine,

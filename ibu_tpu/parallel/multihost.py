@@ -42,6 +42,19 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _pwrite_all(fd: int, data, offset: int) -> None:
+    """``os.pwrite`` until every byte lands: pwrite may return short
+    (ENOSPC after partial progress, signal interruption, NFS/Lustre
+    quirks on exactly the shared filesystems the multihost writers
+    target); advancing by the intended length would leave the tail as the
+    pre-truncated zeros while the run reports success."""
+    view = memoryview(data)
+    while len(view):
+        written = os.pwrite(fd, view, offset)
+        view = view[written:]
+        offset += written
+
+
 def init_distributed(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
@@ -405,16 +418,25 @@ def multihost_sort_file(
             f.truncate(HEADER_SIZE + RECORD_SIZE * b)
     multihost_utils.sync_global_devices("ibu_multihost_sort_created")
     rows_per = out_raw.shape[0] // s
-    fd = os.open(out_path, os.O_WRONLY)
     try:
-        for sh in out_raw.addressable_shards:
-            g = sh.index[0].start // rows_per
-            part = np.asarray(sh.data)[: counts[g]]
-            os.pwrite(fd, np.ascontiguousarray(part).tobytes(),
-                      int(offsets[g]))
-    finally:
-        os.close(fd)
-    multihost_utils.sync_global_devices("ibu_multihost_sort_written")
+        fd = os.open(out_path, os.O_WRONLY)
+        try:
+            for sh in out_raw.addressable_shards:
+                g = sh.index[0].start // rows_per
+                part = np.asarray(sh.data)[: counts[g]]
+                _pwrite_all(fd, np.ascontiguousarray(part).tobytes(),
+                            int(offsets[g]))
+        finally:
+            os.close(fd)
+        multihost_utils.sync_global_devices("ibu_multihost_sort_written")
+    except BaseException:
+        # a partial cooperative write must not survive as a full-size
+        # sorted-flagged file whose dead ranges are zero records
+        try:
+            os.unlink(out_path)
+        except OSError:
+            pass
+        raise
 
 
 def multihost_dedup_file(
@@ -494,6 +516,12 @@ def multihost_dedup_file(
                     batch["barcode"], batch["umi"], batch["index"],
                 )
                 if not _lex_nondecreasing(bc, umi, idx, prev):
+                    if tmp is not None:
+                        raise ValueError(
+                            "internal error: the pod mesh sort produced "
+                            f"out-of-order output near record {pos} of "
+                            f"{tmp}; please report this"
+                        )
                     raise ValueError(
                         f"{in_path}: records are not in sorted order near "
                         f"record {pos} despite the sorted flag; re-sort, "
@@ -505,14 +533,31 @@ def multihost_dedup_file(
                 yield batch, keep, bc_first
                 pos = stop
 
+        # the order verification must fail COHORT-UNIFORMLY: a lone rank
+        # raising here while the others proceed to the allgather would
+        # deadlock the cohort until the runtime heartbeat timeout, so the
+        # verdict travels inside the count allgather and every rank raises
         kept = bc_firsts = 0
-        for _, keep, bc_first in batches_with_prev():
-            kept += int(keep.sum())
-            bc_firsts += int(bc_first.sum())
+        order_error: str | None = None
+        try:
+            for _, keep, bc_first in batches_with_prev():
+                kept += int(keep.sum())
+                bc_firsts += int(bc_first.sum())
+        except ValueError as e:
+            order_error = str(e)
 
         gathered = multihost_utils.process_allgather(
-            np.asarray([[kept, bc_firsts]], dtype=np.int64)
-        ).reshape(jax.process_count(), 2)
+            np.asarray(
+                [[kept, bc_firsts, int(order_error is not None)]],
+                dtype=np.int64,
+            )
+        ).reshape(jax.process_count(), 3)
+        if gathered[:, 2].any():
+            raise ValueError(
+                order_error
+                or "records are not in sorted order in another process's "
+                "record range (see that rank's error for the position)"
+            )
         total_kept = int(gathered[:, 0].sum())
         my_offset = int(gathered[: jax.process_index(), 0].sum())
 
@@ -526,15 +571,26 @@ def multihost_dedup_file(
         multihost_utils.sync_global_devices("ibu_multihost_dedup_created")
 
         pos_out = HEADER_SIZE + RECORD_SIZE * my_offset
-        fd = os.open(out_path, os.O_WRONLY)
         try:
-            for batch, keep, _ in batches_with_prev():
-                data = np.ascontiguousarray(batch[keep]).tobytes()
-                os.pwrite(fd, data, pos_out)
-                pos_out += len(data)
-        finally:
-            os.close(fd)
-        multihost_utils.sync_global_devices("ibu_multihost_dedup_written")
+            fd = os.open(out_path, os.O_WRONLY)
+            try:
+                for batch, keep, _ in batches_with_prev():
+                    data = np.ascontiguousarray(batch[keep]).tobytes()
+                    _pwrite_all(fd, data, pos_out)
+                    pos_out += len(data)
+            finally:
+                os.close(fd)
+            multihost_utils.sync_global_devices("ibu_multihost_dedup_written")
+        except BaseException:
+            # a partial cooperative write would otherwise survive as a
+            # full-size, valid-looking file whose dead ranges are zero
+            # records (_removed_on_error parity, best-effort: the barrier
+            # failure lands every live rank here)
+            try:
+                os.unlink(out_path)
+            except OSError:
+                pass
+            raise
     finally:
         if tmp is not None and jax.process_index() == 0:
             os.unlink(tmp)
@@ -554,6 +610,7 @@ def _multihost_rewrite(
     batch_records: int,
     stat_keys: tuple = (),
     track_order: bool = False,
+    spool: bool = False,
 ):
     """Range-partitioned streaming record rewrite across the cohort.
 
@@ -562,9 +619,16 @@ def _multihost_rewrite(
     rule, each process streams only its range through ``transform(batch)
     -> (out_records, {stat: int})``, one allgather of kept counts (+ stat
     sums) becomes exact output byte offsets, and every process pwrites its
-    output behind a create barrier. ``transform`` must be deterministic —
-    it runs twice (count pass, then write pass) so memory stays bounded at
-    one batch, the same cost model as :func:`multihost_dedup_file`.
+    output behind a create barrier.
+
+    ``spool=False``: ``transform`` must be deterministic — it runs twice
+    (count pass, then write pass) so memory stays bounded at one batch;
+    right when the transform is cheap vectorized numpy (filter).
+    ``spool=True``: the count pass writes transformed records to a
+    rank-LOCAL temp file (host scratch, not the shared FS) and the write
+    pass byte-copies it to the final offset — right when the transform
+    dominates (correct's device Hamming probe would otherwise run twice
+    per record).
 
     With ``track_order=True`` the return includes whether the GLOBAL
     written stream is lexicographically nondecreasing (each rank verifies
@@ -589,6 +653,13 @@ def _multihost_rewrite(
             batch = np.asarray(records[pos:min(pos + batch_records, end)])
             yield transform(batch)
 
+    spool_file = None
+    if spool:
+        import tempfile
+
+        spool_file = tempfile.TemporaryFile(
+            prefix="ibu_mh_rewrite_", suffix=".spool"
+        )
     kept = 0
     stats = dict.fromkeys(stat_keys, 0)
     local_sorted = True
@@ -597,6 +668,8 @@ def _multihost_rewrite(
         kept += len(out)
         for k in stat_keys:
             stats[k] += int(inc.get(k, 0))
+        if spool_file is not None and len(out):
+            spool_file.write(np.ascontiguousarray(out).tobytes())
         if track_order and len(out):
             if local_sorted and not _lex_nondecreasing(
                 out["barcode"], out["umi"], out["index"], last
@@ -646,15 +719,33 @@ def _multihost_rewrite(
     multihost_utils.sync_global_devices("ibu_multihost_rewrite_created")
 
     pos_out = HEADER_SIZE + RECORD_SIZE * my_offset
-    fd = os.open(out_path, os.O_WRONLY)
     try:
-        for out, _ in out_batches():
-            data = np.ascontiguousarray(out).tobytes()
-            os.pwrite(fd, data, pos_out)
-            pos_out += len(data)
-    finally:
-        os.close(fd)
-    multihost_utils.sync_global_devices("ibu_multihost_rewrite_written")
+        fd = os.open(out_path, os.O_WRONLY)
+        try:
+            if spool_file is not None:
+                spool_file.seek(0)
+                while chunk := spool_file.read(1 << 23):
+                    _pwrite_all(fd, chunk, pos_out)
+                    pos_out += len(chunk)
+            else:
+                for out, _ in out_batches():
+                    data = np.ascontiguousarray(out).tobytes()
+                    _pwrite_all(fd, data, pos_out)
+                    pos_out += len(data)
+        finally:
+            os.close(fd)
+            if spool_file is not None:
+                spool_file.close()
+        multihost_utils.sync_global_devices("ibu_multihost_rewrite_written")
+    except BaseException:
+        # _removed_on_error parity: a partial cooperative write must not
+        # survive as a full-size file whose dead ranges are zero records
+        # (the barrier failure lands every live rank here, best-effort)
+        try:
+            os.unlink(out_path)
+        except OSError:
+            pass
+        raise
     return total_kept, totals, globally_sorted
 
 
@@ -672,7 +763,7 @@ def multihost_filter_file(
     and in rank order. Output is byte-identical to the single-host tool.
     """
     from ibu_tpu.constructs.header import Header
-    from ibu_tpu.pipelines import _require_plain, filter_file
+    from ibu_tpu.pipelines import _require_plain, allowlist_mask, filter_file
 
     if jax.process_count() == 1:
         return filter_file(
@@ -688,16 +779,7 @@ def multihost_filter_file(
     out_header.flags = header.flags  # sorted flag survives
 
     def transform(batch):
-        bc = batch["barcode"]
-        if len(allow):
-            pos = np.searchsorted(allow, bc)
-            pos[pos == len(allow)] = 0
-            mask = allow[pos] == bc
-        else:
-            mask = np.zeros(len(bc), dtype=bool)
-        if invert:
-            mask = ~mask
-        return batch[mask], {}
+        return batch[allowlist_mask(batch["barcode"], allow, invert)], {}
 
     kept, _, _ = _multihost_rewrite(
         reader, out_path, out_header, transform, batch_records
@@ -762,6 +844,7 @@ def multihost_correct_file(
     kept, totals, globally_sorted = _multihost_rewrite(
         reader, out_path, out_header, transform, batch_records,
         stat_keys=("exact", "corrected", "dropped"), track_order=True,
+        spool=True,  # the Hamming probe dominates; don't run it twice
     )
     if globally_sorted and kept > 0 and jax.process_index() == 0:
         out_header.set_sorted()

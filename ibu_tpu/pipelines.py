@@ -823,6 +823,23 @@ def dedup_file(
 # ---------------------------------------------------------------------------
 
 
+def allowlist_mask(
+    bc: np.ndarray, allow: np.ndarray, invert: bool = False
+) -> np.ndarray:
+    """Membership mask of ``bc`` against a SORTED-unique allowlist
+    (vectorized ``searchsorted`` with an end-sentinel clamp) — the one
+    definition shared by :func:`filter_file` and the multihost filter, so
+    their byte-identical-output guarantee cannot drift.
+    """
+    if len(allow):
+        pos = np.searchsorted(allow, bc)
+        pos[pos == len(allow)] = 0
+        mask = allow[pos] == bc
+    else:
+        mask = np.zeros(len(bc), dtype=bool)
+    return ~mask if invert else mask
+
+
 def filter_file(
     in_path: str,
     out_path: str,
@@ -857,15 +874,7 @@ def filter_file(
             batch = np.asarray(
                 reader.slice(start, min(start + batch_records, n))
             )
-            bc = batch["barcode"]
-            if len(allow):
-                pos = np.searchsorted(allow, bc)
-                pos[pos == len(allow)] = 0
-                mask = allow[pos] == bc
-            else:
-                mask = np.zeros(len(bc), dtype=bool)
-            if invert:
-                mask = ~mask
+            mask = allowlist_mask(batch["barcode"], allow, invert)
             w.write_batch(batch[mask])
             kept += int(mask.sum())
     return {"records": n, "kept": kept, "allowlist": int(len(allow))}

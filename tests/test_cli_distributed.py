@@ -250,6 +250,47 @@ def test_cli_distributed_filter_and_correct(tmp_path):
     assert filecmp.cmp(s_dist, s_solo, shallow=False)
 
 
+@pytest.mark.slow
+def test_cli_distributed_dedup_lying_flag_fails_cohort_uniformly(tmp_path):
+    """A lying sorted flag must fail EVERY rank with the clear one-line
+    error (the order verdict travels in the count allgather) — not
+    deadlock the ranks whose ranges happen to be locally sorted."""
+    n = 20_000
+    rng = np.random.default_rng(13)
+    path = str(tmp_path / "lying.ibu")
+    # rank 0's range (first half) is sorted; the out-of-order pair lives
+    # in rank 1's range, so without the cohort-uniform verdict rank 0
+    # would hang at the allgather
+    bc = np.sort(rng.integers(0, 1 << 32, n).astype(np.uint64))
+    bc[-2], bc[-1] = bc[-1], bc[-2]
+    h = Header.new(16, 12)
+    h.set_sorted()  # lie
+    with Writer.from_path(path, h) as w:
+        w.write_batch(make_records(bc, bc, bc))
+    port = _free_port()
+    env = _cohort_env()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "ibu_tpu", "dedup", path,
+             str(tmp_path / "out.ibu"),
+             "--distributed", "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(r)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        )
+        for r in range(2)
+    ]
+    outs = [p.communicate(timeout=120) for p in procs]
+    for r, (out, err) in enumerate(outs):
+        assert procs[r].returncode == 1, (
+            f"rank {r} rc={procs[r].returncode}:\n{err[-2000:]}"
+        )
+        assert "not in sorted order" in err, f"rank {r}:\n{err[-2000:]}"
+    assert not os.path.exists(tmp_path / "out.ibu"), (
+        "failed dedup must not leave an output file"
+    )
+
+
 def test_cli_distributed_flag_validation(tmp_path):
     """--distributed refuses engines/inputs it cannot shard (fast, no cohort)."""
     path = str(tmp_path / "t.ibu")

@@ -25,8 +25,8 @@ subcommands:
 ``info``/``decode`` are pure host; ``stats``/``histogram``/``export-fastq``
 run on the jax device mesh; ``sort`` uses the native external merge sort.
 
-``stats``, ``histogram``, ``dedup``, ``filter``, ``correct``, and
-``sort --engine mesh`` also run **pod-wide**:
+``stats``, ``histogram``, ``dedup``, ``filter``, ``correct``,
+``export-fastq``, and ``sort --engine mesh`` also run **pod-wide**:
 launch the same command on every host of a slice with ``--distributed``
 and the work shards across all hosts (the multihost engines of
 ``ibu_tpu.parallel.multihost``). On a real TPU pod the cohort
@@ -631,6 +631,16 @@ def cmd_export_fastq(args) -> int:
     from ibu_tpu.utils import apply_platform_env
 
     apply_platform_env()
+    if args.distributed:
+        _maybe_init_distributed(args)
+        from ibu_tpu.parallel.multihost import multihost_export_fastq
+
+        n, shard = multihost_export_fastq(
+            args.input, args.output, qual=args.qual
+        )
+        print(f"# exported {n} reads -> {shard} (this host's shard)",
+              file=sys.stderr)
+        return 0
     from ibu_tpu.pipelines import export_fastq
 
     n = export_fastq(args.input, args.output, qual=args.qual)
@@ -863,6 +873,7 @@ def main(argv=None) -> int:
     p.add_argument("input", help="IBU file")
     p.add_argument("output", help="FASTQ output (.gz compresses)")
     p.add_argument("--qual", default="I", help="constant quality character")
+    _add_distributed_args(p)
     p.set_defaults(fn=cmd_export_fastq)
 
     args = ap.parse_args(argv)

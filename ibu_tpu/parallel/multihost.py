@@ -861,6 +861,56 @@ def multihost_correct_file(
     }
 
 
+def multihost_export_fastq(
+    ibu_path: str,
+    fastq_path: str,
+    batch_records: int = 1 << 20,
+    qual: str = "I",
+) -> tuple[int, str]:
+    """Pod-scale FASTQ export: every host decodes only its record range
+    into its own shard file (``reads.fastq.gz`` → ``reads.part3.fastq.gz``
+    on process 3 — per-host shards are the operational FASTQ convention,
+    and compressed streams cannot be pwritten cooperatively anyway).
+
+    Read names carry the record index, so concatenating the shards in
+    rank order reproduces the single-host export exactly. Returns
+    ``(total_reads, this_process_shard_path)``; the total is allgathered
+    so every process reports the same count.
+    """
+    from jax.experimental import multihost_utils
+
+    from ibu_tpu.pipelines import _require_plain, export_fastq
+
+    if jax.process_count() == 1:
+        return export_fastq(
+            ibu_path, fastq_path, batch_records=batch_records, qual=qual
+        ), fastq_path
+
+    _require_plain(ibu_path, "export-fastq --distributed")
+    reader = MmapReader(ibu_path)
+    start, end = local_record_range(reader.len())
+
+    d, base = os.path.split(fastq_path)
+    dot = base.find(".")
+    pid = jax.process_index()
+    shard = (
+        f"{base}.part{pid}" if dot < 0
+        else f"{base[:dot]}.part{pid}{base[dot:]}"
+    )
+    shard_path = os.path.join(d, shard)
+
+    mine = export_fastq(
+        ibu_path, shard_path, batch_records=batch_records, qual=qual,
+        record_range=(start, end),
+    )
+    total = int(
+        multihost_utils.process_allgather(
+            np.asarray([mine], dtype=np.int64)
+        ).sum()
+    )
+    return total, shard_path
+
+
 def multihost_map_reduce(
     path: str,
     engine,

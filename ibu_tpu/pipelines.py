@@ -332,6 +332,7 @@ def export_fastq(
     fastq_path: str,
     batch_records: int = 1 << 20,
     qual: str = "I",
+    record_range: tuple[int, int] | None = None,
 ) -> int:
     """IBU file → FASTQ, the inverse of FASTQ ingestion.
 
@@ -344,6 +345,10 @@ def export_fastq(
     Decode runs on the device batch-by-batch (Pallas on TPU, lax
     elsewhere); FASTQ assembly is vectorized byte-matrix fill — no
     per-read Python in either stage.
+
+    ``record_range=(start, end)`` exports only that record slice (plain
+    inputs only — compressed inputs have no random access); the multihost
+    exporter shards a file across hosts this way.
     """
     from ibu_tpu.io.compression import open_compressed, sniff_compression
 
@@ -356,16 +361,21 @@ def export_fastq(
         )
     with open(ibu_path, "rb") as f:
         kind = sniff_compression(f.read(4))
+    if kind is not None and record_range is not None:
+        raise ValueError(
+            f"{ibu_path} is {kind}-compressed; record_range needs random "
+            "access — decompress first"
+        )
     if kind is None:
         reader = MmapReader(ibu_path)
         h = reader.header()
 
         def batches():
-            m = len(reader)
-            for start in range(0, m, batch_records):
-                yield np.asarray(
-                    reader.slice(start, min(start + batch_records, m))
-                )
+            lo, hi = record_range or (0, len(reader))
+            for start in range(lo, hi, batch_records):
+                stop = min(start + batch_records, hi)
+                if stop > start:
+                    yield np.asarray(reader.slice(start, stop))
     else:  # gzip/zstd input: sequential decode through the Reader
         from ibu_tpu.io.reader import Reader
 

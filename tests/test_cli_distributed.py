@@ -291,6 +291,33 @@ def test_cli_distributed_dedup_lying_flag_fails_cohort_uniformly(tmp_path):
     )
 
 
+@pytest.mark.slow
+def test_cli_distributed_export_fastq(tmp_path):
+    """Each host exports its record range into its own FASTQ shard;
+    shards concatenated in rank order must equal the single-host export
+    byte-for-byte (plain output, so the bytes compare directly)."""
+    from ibu_tpu.pipelines import export_fastq
+
+    n = 30_007
+    rng = np.random.default_rng(21)
+    path = str(tmp_path / "in.ibu")
+    with Writer.from_path(path, Header.new(16, 12)) as w:
+        w.write_batch(make_records(
+            rng.integers(0, 1 << 32, n).astype(np.uint64),
+            rng.integers(0, 1 << 24, n).astype(np.uint64),
+            np.arange(n, dtype=np.uint64),
+        ))
+    out = str(tmp_path / "reads.fastq")
+    outs = _run_cohort(["export-fastq", path, out])
+    for r in range(2):
+        assert f"exported {n} reads" in outs[r][1], outs[r][1][-500:]
+    part0 = (tmp_path / "reads.part0.fastq").read_bytes()
+    part1 = (tmp_path / "reads.part1.fastq").read_bytes()
+    solo = str(tmp_path / "solo.fastq")
+    export_fastq(path, solo)
+    assert part0 + part1 == open(solo, "rb").read()
+
+
 def test_cli_distributed_flag_validation(tmp_path):
     """--distributed refuses engines/inputs it cannot shard (fast, no cohort)."""
     path = str(tmp_path / "t.ibu")

@@ -25,7 +25,7 @@ subcommands:
 ``info``/``decode`` are pure host; ``stats``/``histogram``/``export-fastq``
 run on the jax device mesh; ``sort`` uses the native external merge sort.
 
-``stats``, ``histogram``, ``dedup``, ``filter``, ``correct``,
+``stats``, ``histogram``, ``dedup``, ``filter``, ``correct``, ``count``,
 ``export-fastq``, and ``sort --engine mesh`` also run **pod-wide**:
 launch the same command on every host of a slice with ``--distributed``
 and the work shards across all hosts (the multihost engines of
@@ -482,14 +482,28 @@ def cmd_cells(args) -> int:
 
 
 def cmd_count(args) -> int:
-    if args.engine == "device":
+    if args.engine == "device" or args.distributed:
         from ibu_tpu.utils import apply_platform_env
 
         apply_platform_env()
-    from ibu_tpu.pipelines import count_matrix
+    if args.distributed:
+        if args.engine == "device":
+            print("--distributed shards the host counting pass; drop "
+                  "--engine device", file=sys.stderr)
+            return 2
+        _maybe_init_distributed(args)
+        from ibu_tpu.parallel.multihost import multihost_count_matrix
 
-    stats = count_matrix(args.input, args.prefix, dedup=not args.raw_reads,
-                         engine=args.engine)
+        stats = multihost_count_matrix(
+            args.input, args.prefix, dedup=not args.raw_reads
+        )
+        if not _is_rank0():
+            return 0
+    else:
+        from ibu_tpu.pipelines import count_matrix
+
+        stats = count_matrix(args.input, args.prefix,
+                             dedup=not args.raw_reads, engine=args.engine)
     what = "reads" if args.raw_reads else "molecules"
     print(
         f"count {args.input} -> {args.prefix}.mtx: "
@@ -822,6 +836,7 @@ def main(argv=None) -> int:
     p.add_argument("--engine", choices=("host", "device"), default="host",
                    help="device: per-batch 6-key sort + segment count on "
                         "the jax device (sorted inputs, dedup mode only)")
+    _add_distributed_args(p)
     p.set_defaults(fn=cmd_count)
 
     p = sub.add_parser(

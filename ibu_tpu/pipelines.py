@@ -1231,6 +1231,116 @@ def _group_keys(
     return s[starts], np.add.reduceat(w, starts)
 
 
+def _count_range_partial(
+    reader: "MmapReader",
+    lo: int,
+    hi: int,
+    dedup: bool,
+    batch_records: int,
+    in_path: str,
+    boundary_carry: bool = False,
+):
+    """Streaming count pass over records ``[lo, hi)``: the per-range stage
+    shared by :func:`count_matrix` (whole file) and the multihost counter
+    (one range per host).
+
+    Returns ``(keys, weights)``: with ``dedup`` the range-unique
+    ``(barcode, index, umi)`` triple table and ``weights=None``; without,
+    the range's unique ``(barcode, index)`` pairs and their read counts.
+
+    Sorted inputs (header flag) use the O(n) adjacent-diff triple-unique —
+    duplicates of a triple are identical records, hence adjacent in the
+    reference order (verified during the pass; a lying flag raises).
+    ``boundary_carry=True`` additionally dedups against the record just
+    before ``lo`` (read straight from the shared mmap), so concatenating
+    contiguous ranges' tables in order is already globally unique.
+    """
+    header = reader.header()
+    fields = ["barcode", "index"] + (["umi"] if dedup else [])
+    key_dtype = [(f, "<u8") for f in fields]
+    fast_sorted = dedup and header.sorted()
+    records = reader.records
+    parts: list[np.ndarray] = []
+    part_counts: list[np.ndarray] = []  # dedup=False: multiplicities
+    prev: tuple[int, int, int] | None = None
+    if fast_sorted and boundary_carry and lo > 0 and hi > lo:
+        r = records[lo - 1]
+        prev = (int(r["barcode"]), int(r["umi"]), int(r["index"]))
+    for start in range(lo, hi, batch_records):
+        batch = np.asarray(records[start:min(start + batch_records, hi)])
+        keys = np.empty(len(batch), dtype=key_dtype)
+        for f in fields:
+            keys[f] = batch[f]
+        if fast_sorted:
+            bc, um, ix = batch["barcode"], batch["umi"], batch["index"]
+            if not _lex_nondecreasing(bc, um, ix, prev):
+                raise ValueError(
+                    f"{in_path}: the header claims sorted order but "
+                    "records are out of order; re-sort first (`python "
+                    "-m ibu_tpu sort`) or clear the flag (`repair`)"
+                )
+            first = np.ones(len(keys), dtype=bool)
+            first[1:] = keys[1:] != keys[:-1]
+            if prev is not None and len(batch):
+                first[0] = (int(bc[0]), int(um[0]), int(ix[0])) != prev
+            parts.append(keys[first])
+            if len(batch):
+                prev = (int(bc[-1]), int(um[-1]), int(ix[-1]))
+        elif dedup:
+            # triple uniquing is idempotent, so per-batch + final
+            # global unique collapses cross-batch duplicates exactly
+            parts.append(_group_keys(keys, fields)[0])
+        else:
+            u, c = _group_keys(keys, fields)
+            parts.append(u)
+            part_counts.append(c)
+
+    merged = (
+        np.concatenate(parts) if parts else np.empty(0, dtype=key_dtype)
+    )
+    if dedup:
+        if not fast_sorted:
+            merged = _group_keys(merged, fields)[0]
+        return merged, None
+    weights = (
+        np.concatenate(part_counts)
+        if part_counts
+        else np.empty(0, np.int64)
+    )
+    return _group_keys(merged, fields, weights=weights)
+
+
+def _count_pairs_from_partials(
+    key_parts: list, weight_parts: list, dedup: bool, presorted: bool
+):
+    """Merge range-partial count tables (:func:`_count_range_partial`)
+    into the final unique ``(barcode, index)`` pairs + counts.
+
+    ``presorted=True`` asserts the concatenated dedup triples are already
+    globally unique (sorted input + boundary carries), skipping the
+    global triple unique.
+    """
+    merged = (
+        np.concatenate(key_parts)
+        if key_parts
+        else np.empty(0, dtype=[("barcode", "<u8"), ("index", "<u8")])
+    )
+    pair_dtype = [("barcode", "<u8"), ("index", "<u8")]
+    if dedup:
+        fields = ["barcode", "index", "umi"]
+        triples = merged if presorted else _group_keys(merged, fields)[0]
+        pairs = np.empty(len(triples), dtype=pair_dtype)
+        pairs["barcode"] = triples["barcode"]
+        pairs["index"] = triples["index"]
+        return _group_keys(pairs, ["barcode", "index"])
+    weights = (
+        np.concatenate(weight_parts)
+        if weight_parts
+        else np.empty(0, np.int64)
+    )
+    return _group_keys(merged, ["barcode", "index"], weights=weights)
+
+
 def count_matrix(
     in_path: str,
     out_prefix: str,
@@ -1294,105 +1404,68 @@ def count_matrix(
         )
         pair_bc, pair_idx = dev_pairs[:, 0], dev_pairs[:, 1]
     else:
-        fields = ["barcode", "index"] + (["umi"] if dedup else [])
-        key_dtype = [(f, "<u8") for f in fields]
-        # sorted inputs (dedup_file output, sorted rewrites) admit an O(n)
-        # triple-unique: duplicates of a (bc, umi, idx) triple are fully
-        # identical records, hence adjacent in the reference sort order.
-        # The claimed order is verified during the pass (the merge/dedup
-        # stance: a lying flag is an error, not silent corruption).
-        fast_sorted = dedup and header.sorted()
-        parts: list[np.ndarray] = []
-        part_counts: list[np.ndarray] = []  # dedup=False: multiplicities
-        prev: tuple[int, int, int] | None = None
-        for start in range(0, n, batch_records):
-            batch = np.asarray(
-                reader.slice(start, min(start + batch_records, n))
-            )
-            keys = np.empty(len(batch), dtype=key_dtype)
-            for f in fields:
-                keys[f] = batch[f]
-            if fast_sorted:
-                bc, um, ix = batch["barcode"], batch["umi"], batch["index"]
-                if not _lex_nondecreasing(bc, um, ix, prev):
-                    raise ValueError(
-                        f"{in_path}: the header claims sorted order but "
-                        "records are out of order; re-sort first (`python "
-                        "-m ibu_tpu sort`) or clear the flag (`repair`)"
-                    )
-                first = np.ones(len(keys), dtype=bool)
-                first[1:] = keys[1:] != keys[:-1]
-                if prev is not None and len(batch):
-                    first[0] = (
-                        int(bc[0]), int(um[0]), int(ix[0])
-                    ) != prev
-                parts.append(keys[first])
-                if len(batch):
-                    prev = (int(bc[-1]), int(um[-1]), int(ix[-1]))
-            elif dedup:
-                # triple uniquing is idempotent, so per-batch + final
-                # global unique collapses cross-batch duplicates exactly
-                parts.append(_group_keys(keys, fields)[0])
-            else:
-                u, c = _group_keys(keys, fields)
-                parts.append(u)
-                part_counts.append(c)
-
-        if parts:
-            merged = np.concatenate(parts)
-        else:
-            merged = np.empty(0, dtype=key_dtype)
-
-        pair_dtype = [("barcode", "<u8"), ("index", "<u8")]
-        if dedup:
-            # fast_sorted: merged is already globally unique (verified
-            # order + boundary handling above)
-            triples = (
-                merged if fast_sorted else _group_keys(merged, fields)[0]
-            )
-            pairs = np.empty(len(triples), dtype=pair_dtype)
-            pairs["barcode"] = triples["barcode"]
-            pairs["index"] = triples["index"]
-            uniq_pairs, counts = _group_keys(pairs, ["barcode", "index"])
-        else:
-            # sum per-batch read counts over the global pair set
-            weights = (
-                np.concatenate(part_counts)
-                if part_counts
-                else np.empty(0, np.int64)
-            )
-            uniq_pairs, counts = _group_keys(
-                merged, ["barcode", "index"], weights=weights
-            )
+        keys, weights = _count_range_partial(
+            reader, 0, n, dedup, batch_records, in_path
+        )
+        # a single whole-file range is already globally unique whatever
+        # the input order (_count_range_partial ends with the global
+        # unique in the unsorted case), so the triple re-unique skips
+        uniq_pairs, counts = _count_pairs_from_partials(
+            [keys], [weights] if weights is not None else [],
+            dedup=dedup, presorted=dedup,
+        )
         pair_bc, pair_idx = uniq_pairs["barcode"], uniq_pairs["index"]
 
+    return _write_count_outputs(
+        out_prefix, in_path, dedup, header.bc_len,
+        pair_bc, pair_idx, counts, n,
+    )
+
+
+def _write_count_outputs(
+    out_prefix: str,
+    in_path: str,
+    dedup: bool,
+    bc_len: int,
+    pair_bc: np.ndarray,
+    pair_idx: np.ndarray,
+    counts,
+    n: int,
+    write: bool = True,
+) -> dict:
+    """Assemble + write the MatrixMarket trio from the unique pair table;
+    ``write=False`` computes only the stats dict (multihost ranks other
+    than process 0 — every rank derives identical stats from identical
+    merged tables without touching the filesystem)."""
     barcodes = np.unique(pair_bc)
     indices = np.unique(pair_idx)
-    row = np.searchsorted(barcodes, pair_bc)
-    col = np.searchsorted(indices, pair_idx)
-    # deterministic entry order (row-major) regardless of engine
-    order = np.lexsort((col, row))
-    row, col = row[order], col[order]
-    counts = np.asarray(counts)[order]
+    counts = np.asarray(counts)
+    if write:
+        row = np.searchsorted(barcodes, pair_bc)
+        col = np.searchsorted(indices, pair_idx)
+        # deterministic entry order (row-major) regardless of engine
+        order = np.lexsort((col, row))
+        row, col = row[order], col[order]
+        wcounts = counts[order]
 
-    with open(f"{out_prefix}.mtx", "w") as f:
-        f.write("%%MatrixMarket matrix coordinate integer general\n")
-        f.write("%rows=barcodes cols=record-indices "
-                f"source={in_path} dedup={dedup}\n")
-        f.write(f"{len(barcodes)} {len(indices)} {len(pair_bc)}\n")
-        if len(pair_bc):
-            block = np.empty((len(pair_bc), 3), dtype=np.int64)
-            block[:, 0] = row + 1
-            block[:, 1] = col + 1
-            block[:, 2] = counts
-            # one vectorized str conversion + join (np.savetxt formats
-            # row-by-row in Python and measures ~1.5x slower)
-            rows_txt = block.astype("U20").tolist()
-            f.write("\n".join(" ".join(r) for r in rows_txt) + "\n")
-    with open(f"{out_prefix}.barcodes.txt", "w") as f:
-        f.writelines(s + "\n" for s in C.decode_seqs(barcodes, header.bc_len))
-    with open(f"{out_prefix}.indices.txt", "w") as f:
-        f.writelines(f"{int(i)}\n" for i in indices)
+        with open(f"{out_prefix}.mtx", "w") as f:
+            f.write("%%MatrixMarket matrix coordinate integer general\n")
+            f.write("%rows=barcodes cols=record-indices "
+                    f"source={in_path} dedup={dedup}\n")
+            f.write(f"{len(barcodes)} {len(indices)} {len(pair_bc)}\n")
+            if len(pair_bc):
+                block = np.empty((len(pair_bc), 3), dtype=np.int64)
+                block[:, 0] = row + 1
+                block[:, 1] = col + 1
+                block[:, 2] = wcounts
+                # one vectorized str conversion + join (np.savetxt formats
+                # row-by-row in Python and measures ~1.5x slower)
+                rows_txt = block.astype("U20").tolist()
+                f.write("\n".join(" ".join(r) for r in rows_txt) + "\n")
+        with open(f"{out_prefix}.barcodes.txt", "w") as f:
+            f.writelines(s + "\n" for s in C.decode_seqs(barcodes, bc_len))
+        with open(f"{out_prefix}.indices.txt", "w") as f:
+            f.writelines(f"{int(i)}\n" for i in indices)
 
     return {
         "barcodes": int(len(barcodes)),

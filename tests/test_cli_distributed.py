@@ -318,6 +318,52 @@ def test_cli_distributed_export_fastq(tmp_path):
     assert part0 + part1 == open(solo, "rb").read()
 
 
+@pytest.mark.slow
+def test_cli_distributed_count(tmp_path):
+    """Pod-wide count matrix: the heavy uniquing shards per host and the
+    MatrixMarket trio written by process 0 must be byte-identical to the
+    single-host tool — on an UNSORTED input (cross-rank triple dedup via
+    the global unique) and on a SORTED one (O(n) adjacent-diff with the
+    mmap boundary carry), with duplicates planted astride the rank cut."""
+    import filecmp
+
+    from ibu_tpu.pipelines import count_matrix
+
+    n = 36_011
+    rng = np.random.default_rng(17)
+    bc = rng.integers(0, 50, n).astype(np.uint64)
+    umi = rng.integers(0, 40, n).astype(np.uint64)
+    idx = rng.integers(0, 30, n).astype(np.uint64)  # heavy duplication
+    for name, recs in [
+        ("unsorted", make_records(bc, umi, idx)),
+        ("sorted", np.sort(make_records(bc, umi, idx),
+                           order=("barcode", "umi", "index"))),
+    ]:
+        path = str(tmp_path / f"{name}.ibu")
+        h = Header.new(16, 12)
+        if name == "sorted":
+            h.set_sorted()
+        with Writer.from_path(path, h) as w:
+            w.write_batch(recs)
+        d_pref = str(tmp_path / f"{name}_d")
+        s_pref = str(tmp_path / f"{name}_s")
+        outs = _run_cohort(["count", path, d_pref])
+        stats = count_matrix(path, s_pref)
+        for suffix in (".mtx", ".barcodes.txt", ".indices.txt"):
+            assert filecmp.cmp(d_pref + suffix, s_pref + suffix,
+                               shallow=False), (name, suffix)
+        line = [l for l in outs[0][0].splitlines() if l.startswith("count ")]
+        assert line and f"{stats['molecules']} molecules" in line[0], (
+            name, outs[0][0]
+        )
+        assert not any(
+            l.startswith("count ") for l in outs[1][0].splitlines()
+        )
+        assert not list(tmp_path.glob("*.mh_count.part*")), (
+            "partial exchange files not cleaned"
+        )
+
+
 def test_cli_distributed_flag_validation(tmp_path):
     """--distributed refuses engines/inputs it cannot shard (fast, no cohort)."""
     path = str(tmp_path / "t.ibu")

@@ -649,11 +649,14 @@ def cmd_export_fastq(args) -> int:
         _maybe_init_distributed(args)
         from ibu_tpu.parallel.multihost import multihost_export_fastq
 
-        n, shard = multihost_export_fastq(
+        total, mine, shard = multihost_export_fastq(
             args.input, args.output, qual=args.qual
         )
-        print(f"# exported {n} reads -> {shard} (this host's shard)",
+        print(f"# exported {mine} reads -> {shard} (this host's shard)",
               file=sys.stderr)
+        if _is_rank0():
+            print(f"# pod total: {total} reads across "
+                  "rank-ordered part* shards", file=sys.stderr)
         return 0
     from ibu_tpu.pipelines import export_fastq
 

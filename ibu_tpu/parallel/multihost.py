@@ -877,10 +877,12 @@ def multihost_count_matrix(
     mmap, so concatenating the ranges' triples is already globally
     unique). Partials exchange through ``{out_prefix}.mh_count.partN.npz``
     on the shared filesystem (their size is O(answer), not O(records));
-    every process then derives the SAME final pair table and stats, and
-    process 0 alone writes the MatrixMarket trio. Order-verification
-    failures are cohort-uniform (verdict rides the completion allgather),
-    like :func:`multihost_dedup_file`.
+    process 0 alone pays the merge and writes the MatrixMarket trio, and
+    the 5-int stats ride the completion allgather back to every rank.
+    EVERY local failure (order verification, shared-FS I/O, the .mtx
+    write) is routed through a checkpoint allgather so the whole cohort
+    fails together instead of the healthy ranks deadlocking at the next
+    collective.
     """
     from jax.experimental import multihost_utils
 
@@ -906,57 +908,76 @@ def multihost_count_matrix(
     pid = jax.process_index()
     nprocs = jax.process_count()
 
-    order_error: str | None = None
-    keys = weights = None
-    try:
-        keys, weights = _count_range_partial(
-            reader, start, end, dedup, batch_records, in_path,
-            boundary_carry=True,
-        )
-    except ValueError as e:
-        order_error = str(e)
+    # Every collective below is preceded by catching local failures into
+    # `failed`: a lone rank raising before a collective would deadlock the
+    # rest of the cohort until the runtime heartbeat timeout, so EVERY
+    # error (order verification, shared-FS I/O, the .mtx write) travels
+    # through a checkpoint allgather and all ranks fail together.
+    failed: BaseException | None = None
+
+    def _checkpoint(stage: str, extra=()) -> np.ndarray:
+        lane = [int(failed is not None)] + [int(v) for v in extra]
+        gathered = multihost_utils.process_allgather(
+            np.asarray([lane], dtype=np.int64)
+        ).reshape(nprocs, len(lane))
+        if gathered[:, 0].any():
+            if failed is not None:
+                raise failed
+            raise ValueError(
+                f"multihost count failed on another process during "
+                f"{stage} (see that rank's error)"
+            )
+        return gathered[:, 1:]
 
     part_path = f"{out_prefix}.mh_count.part{pid}.npz"
     try:
-        if order_error is None:
+        try:
+            keys, weights = _count_range_partial(
+                reader, start, end, dedup, batch_records, in_path,
+                boundary_carry=True,
+            )
             payload = {"keys": keys}
             if weights is not None:
                 payload["counts"] = weights
             np.savez(part_path, **payload)
-        # completion allgather doubles as the order verdict — a lone rank
-        # raising before the barrier would deadlock the cohort
-        gathered = multihost_utils.process_allgather(
-            np.asarray([[int(order_error is not None)]], dtype=np.int64)
-        )
-        if gathered.any():
-            raise ValueError(
-                order_error
-                or "records are out of order in another process's record "
-                "range (see that rank's error for the position)"
-            )
+        except BaseException as e:
+            failed = e
+        _checkpoint("the range-partial pass")
 
-        key_parts, weight_parts = [], []
-        for r in range(nprocs):
-            with np.load(f"{out_prefix}.mh_count.part{r}.npz") as z:
-                key_parts.append(z["keys"])
-                if "counts" in z:
-                    weight_parts.append(z["counts"])
-        uniq_pairs, counts = _count_pairs_from_partials(
-            key_parts, weight_parts, dedup=dedup,
-            presorted=dedup and header.sorted(),  # boundary-carried
+        # process 0 alone pays the shared-FS reads + global merge + write;
+        # the 5-int stats ride the completion checkpoint to every rank
+        stat_keys = ("barcodes", "indices", "entries", "molecules",
+                     "records")
+        stats = dict.fromkeys(stat_keys, 0)
+        if pid == 0:
+            try:
+                key_parts, weight_parts = [], []
+                for r in range(nprocs):
+                    with np.load(
+                        f"{out_prefix}.mh_count.part{r}.npz"
+                    ) as z:
+                        key_parts.append(z["keys"])
+                        if "counts" in z:
+                            weight_parts.append(z["counts"])
+                uniq_pairs, counts = _count_pairs_from_partials(
+                    key_parts, weight_parts, dedup=dedup,
+                    presorted=dedup and header.sorted(),  # carried
+                )
+                stats = _write_count_outputs(
+                    out_prefix, in_path, dedup, header.bc_len,
+                    uniq_pairs["barcode"], uniq_pairs["index"], counts, n,
+                )
+            except BaseException as e:
+                failed = e
+        gathered = _checkpoint(
+            "the merge/write", (stats[k] for k in stat_keys)
         )
-        stats = _write_count_outputs(
-            out_prefix, in_path, dedup, header.bc_len,
-            uniq_pairs["barcode"], uniq_pairs["index"], counts, n,
-            write=pid == 0,
-        )
-        multihost_utils.sync_global_devices("ibu_multihost_count_done")
+        return dict(zip(stat_keys, (int(v) for v in gathered[0])))
     finally:
         try:
             os.unlink(part_path)
         except OSError:
             pass
-    return stats
 
 
 def multihost_export_fastq(
@@ -972,17 +993,19 @@ def multihost_export_fastq(
 
     Read names carry the record index, so concatenating the shards in
     rank order reproduces the single-host export exactly. Returns
-    ``(total_reads, this_process_shard_path)``; the total is allgathered
-    so every process reports the same count.
+    ``(total_reads, local_reads, this_process_shard_path)``; the total is
+    allgathered so every process knows the pod-wide count alongside what
+    its own shard holds.
     """
     from jax.experimental import multihost_utils
 
     from ibu_tpu.pipelines import _require_plain, export_fastq
 
     if jax.process_count() == 1:
-        return export_fastq(
+        mine = export_fastq(
             ibu_path, fastq_path, batch_records=batch_records, qual=qual
-        ), fastq_path
+        )
+        return mine, mine, fastq_path
 
     _require_plain(ibu_path, "export-fastq --distributed")
     reader = MmapReader(ibu_path)
@@ -1006,7 +1029,7 @@ def multihost_export_fastq(
             np.asarray([mine], dtype=np.int64)
         ).sum()
     )
-    return total, shard_path
+    return total, mine, shard_path
 
 
 def multihost_map_reduce(

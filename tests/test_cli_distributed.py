@@ -309,8 +309,16 @@ def test_cli_distributed_export_fastq(tmp_path):
         ))
     out = str(tmp_path / "reads.fastq")
     outs = _run_cohort(["export-fastq", path, out])
+    import re
+
+    per_rank = []
     for r in range(2):
-        assert f"exported {n} reads" in outs[r][1], outs[r][1][-500:]
+        m = re.search(r"exported (\d+) reads -> \S*part%d" % r, outs[r][1])
+        assert m, outs[r][1][-500:]
+        per_rank.append(int(m.group(1)))
+    assert sum(per_rank) == n  # shard counts are LOCAL, not the total
+    assert f"pod total: {n} reads" in outs[0][1]
+    assert "pod total" not in outs[1][1]
     part0 = (tmp_path / "reads.part0.fastq").read_bytes()
     part1 = (tmp_path / "reads.part1.fastq").read_bytes()
     solo = str(tmp_path / "solo.fastq")
@@ -386,3 +394,9 @@ def test_cli_distributed_flag_validation(tmp_path):
         capture_output=True, text=True, env=env,
     )
     assert r.returncode == 2 and "--engine mesh" in r.stderr
+    r = subprocess.run(
+        [sys.executable, "-m", "ibu_tpu", "count", path,
+         str(tmp_path / "cnt"), "--engine", "device", "--distributed"],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 2 and "drop --engine device" in r.stderr

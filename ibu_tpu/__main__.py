@@ -26,7 +26,8 @@ subcommands:
 run on the jax device mesh; ``sort`` uses the native external merge sort.
 
 ``stats``, ``histogram``, ``dedup``, ``filter``, ``correct``, ``count``,
-``export-fastq``, and ``sort --engine mesh`` also run **pod-wide**:
+``ingest-fastq``, ``export-fastq``, and ``sort --engine mesh`` also run
+**pod-wide**:
 launch the same command on every host of a slice with ``--distributed``
 and the work shards across all hosts (the multihost engines of
 ``ibu_tpu.parallel.multihost``). On a real TPU pod the cohort
@@ -634,9 +635,19 @@ def cmd_ingest_fastq(args) -> int:
     from ibu_tpu.utils import apply_platform_env
 
     apply_platform_env()
-    from ibu_tpu.pipelines import ingest_fastq
+    if args.distributed:
+        _maybe_init_distributed(args)
+        from ibu_tpu.parallel.multihost import multihost_ingest_fastq
 
-    n = ingest_fastq(args.input, args.output, args.bc_len, args.umi_len)
+        n = multihost_ingest_fastq(
+            args.input, args.output, args.bc_len, args.umi_len
+        )
+        if not _is_rank0():
+            return 0
+    else:
+        from ibu_tpu.pipelines import ingest_fastq
+
+        n = ingest_fastq(args.input, args.output, args.bc_len, args.umi_len)
     print(f"# ingested {n} reads -> {args.output} (sorted)", file=sys.stderr)
     return 0
 
@@ -885,6 +896,7 @@ def main(argv=None) -> int:
     p.add_argument("output", help="IBU output")
     p.add_argument("--bc-len", type=int, default=16)
     p.add_argument("--umi-len", type=int, default=12)
+    _add_distributed_args(p)
     p.set_defaults(fn=cmd_ingest_fastq)
 
     p = sub.add_parser("export-fastq", help="records → FASTQ (decode on device)")

@@ -980,6 +980,195 @@ def multihost_count_matrix(
             pass
 
 
+def multihost_ingest_fastq(
+    fastq_path: str,
+    ibu_path: str,
+    bc_len: int,
+    umi_len: int,
+    batch: int = 200_000,
+    validate: bool = True,
+) -> int:
+    """Pod-scale FASTQ → sorted IBU: the whole ingest pipeline sharded.
+
+    A plain (uncompressed) FASTQ splits EXACTLY across hosts without
+    parsing it twice:
+
+    * raw byte ranges partition by the reference rule; each host counts
+      the newlines in its range (one vectorized memmap scan) and one
+      allgather gives every host the global line index at its range
+      start — so the every-4th-line phase, the 1-based line numbers in
+      errors, and each host's global READ index base all follow by
+      arithmetic, no communication in the parse itself;
+    * range starts align forward to the next line start (a line whose
+      first byte is in a range belongs to that host and is consumed to
+      its real end, even past the cut — the byte-range contract of
+      :func:`ibu_tpu.pipelines.fastq_prefix_batches`);
+    * each host parses + device-encodes only its reads and pwrites them
+      at its exact offset of a shared unsorted temp, then the pod-wide
+      mesh sample sort (:func:`multihost_sort_file`) produces the final
+      sorted file.
+
+    Parse/validate/IO failures are cohort-uniform (checkpoint allgather,
+    like :func:`multihost_count_matrix`). Gzip/zstd FASTQs have no
+    random access — ingest those single-host. Returns the pod-wide read
+    count on every process.
+    """
+    from jax.experimental import multihost_utils
+
+    from ibu_tpu.constructs.header import HEADER_SIZE, Header
+    from ibu_tpu.constructs.record import RECORD_SIZE
+    from ibu_tpu.io.compression import infer_compression, sniff_compression
+    from ibu_tpu.ops import codec as C
+    from ibu_tpu.pipelines import (
+        encode_batch,
+        fastq_prefix_batches,
+        ingest_fastq,
+    )
+
+    if jax.process_count() == 1:
+        return ingest_fastq(
+            fastq_path, ibu_path, bc_len, umi_len, batch=batch,
+            validate=validate,
+        )
+
+    with open(fastq_path, "rb") as f:
+        kind = sniff_compression(f.read(4))
+    if kind is not None:
+        raise ValueError(
+            f"{fastq_path} is {kind}-compressed: no random access to "
+            "shard it across hosts — decompress first, or ingest "
+            "single-host (compressed ingest streams fine there)"
+        )
+    if infer_compression(ibu_path):
+        raise ValueError(
+            "compressed output cannot be pwritten cooperatively; use a "
+            "plain .ibu output (compress it afterwards if needed)"
+        )
+
+    nprocs = jax.process_count()
+    pid = jax.process_index()
+    prefix_len = bc_len + umi_len
+    size = os.path.getsize(fastq_path)
+    lo, hi = partition(size, nprocs)[pid]
+    mm = np.memmap(fastq_path, np.uint8) if size else None
+
+    # newlines in my raw range + my aligned start (first line start >= lo)
+    nl_mine = 0
+    for p in range(lo, hi, 1 << 26):
+        nl_mine += int(
+            np.count_nonzero(mm[p:min(p + (1 << 26), hi)] == 10)
+        )
+    aligned = lo
+    if lo > 0 and mm[lo - 1] != 10:
+        nxt = lo
+        aligned = size  # no line starts at/after lo unless a \n is found
+        while nxt < size:
+            stop = min(nxt + (1 << 26), size)
+            hits = np.flatnonzero(mm[nxt:stop] == 10)
+            if len(hits):
+                aligned = nxt + int(hits[0]) + 1
+                break
+            nxt = stop
+
+    gathered = multihost_utils.process_allgather(
+        np.asarray([[nl_mine, aligned]], dtype=np.int64)
+    ).reshape(nprocs, 2)
+    nl_before = int(gathered[:pid, 0].sum())
+    line_base = nl_before + (1 if aligned > lo else 0)
+    total_nl = int(gathered[:, 0].sum())
+    total_lines = total_nl + (1 if size and mm[size - 1] != 10 else 0)
+
+    # global line index at every rank's aligned start, by the same rule
+    # (deterministic: derived from the allgathered counts + aligned flags)
+    line_starts = [
+        int(gathered[:r, 0].sum())
+        + (1 if gathered[r, 1] > partition(size, nprocs)[r][0] else 0)
+        for r in range(nprocs)
+    ] + [total_lines]
+
+    def seq_lines_below(x: int) -> int:  # lines with index % 4 == 1
+        return (x + 2) // 4
+
+    reads = [
+        seq_lines_below(line_starts[r + 1]) - seq_lines_below(line_starts[r])
+        for r in range(nprocs)
+    ]
+    total = int(sum(reads))
+    base = int(sum(reads[:pid]))
+
+    failed: BaseException | None = None
+
+    def _checkpoint(stage: str) -> None:
+        flags = multihost_utils.process_allgather(
+            np.asarray([[int(failed is not None)]], dtype=np.int64)
+        )
+        if flags.any():
+            if failed is not None:
+                raise failed
+            raise ValueError(
+                f"multihost ingest failed on another process during "
+                f"{stage} (see that rank's error)"
+            )
+
+    tmp = ibu_path + ".mhingest.tmp"
+    header = Header.new(bc_len, umi_len)
+    if pid == 0:
+        with open(tmp, "wb") as f:
+            f.write(header.as_bytes())
+            f.truncate(HEADER_SIZE + RECORD_SIZE * total)
+    multihost_utils.sync_global_devices("ibu_multihost_ingest_created")
+
+    try:
+        written = 0
+        try:
+            fd = os.open(tmp, os.O_WRONLY)
+            try:
+                pos_out = HEADER_SIZE + RECORD_SIZE * base
+                for prefixes in fastq_prefix_batches(
+                    fastq_path, prefix_len, batch,
+                    byte_range=(aligned, hi), line_base=line_base,
+                ):
+                    if validate:
+                        C.np_validate_ascii(prefixes)
+                    idx = np.arange(
+                        base + written, base + written + len(prefixes),
+                        dtype=np.uint64,
+                    )
+                    records = encode_batch(
+                        prefixes[:, :bc_len], prefixes[:, bc_len:], idx
+                    )
+                    data = np.ascontiguousarray(records).tobytes()
+                    _pwrite_all(fd, data, pos_out)
+                    pos_out += len(data)
+                    written += len(prefixes)
+            finally:
+                os.close(fd)
+            if written != reads[pid]:  # arithmetic vs parse cross-check
+                raise AssertionError(
+                    f"rank {pid} parsed {written} reads, expected "
+                    f"{reads[pid]} from the line arithmetic"
+                )
+        except BaseException as e:
+            failed = e
+        _checkpoint("the parse/encode pass")
+
+        multihost_sort_file(tmp, ibu_path)
+        return total
+    except BaseException:
+        if pid == 0:
+            try:
+                os.unlink(ibu_path)
+            except OSError:
+                pass
+        raise
+    finally:
+        if pid == 0:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+
 def multihost_export_fastq(
     ibu_path: str,
     fastq_path: str,

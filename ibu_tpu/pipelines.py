@@ -489,6 +489,8 @@ def split_file(
 def fastq_prefix_batches(
     path: str, prefix_len: int, batch: int = 200_000,
     chunk_bytes: int = 1 << 23,
+    byte_range: tuple[int, int] | None = None,
+    line_base: int = 0,
 ):
     """Yield ``(N, prefix_len)`` ASCII arrays of FASTQ read prefixes.
 
@@ -505,8 +507,30 @@ def fastq_prefix_batches(
     dominating ingest; this path parses the same file in ~0.1 s/M and
     releases the GIL inside the C loops, so the ingest prefetch thread
     genuinely overlaps it with encoding).
+
+    ``byte_range=(start, end)`` parses only the lines whose FIRST byte
+    lies in ``[start, end)`` — ``start`` must itself be a line start, and
+    the last owned line is consumed to its real end even past ``end``
+    (how the multihost ingester splits one FASTQ across hosts without
+    splitting a line). ``line_base`` is the global index of the line at
+    ``start``, keeping the every-4th-line phase and the 1-based line
+    numbers in errors correct. Plain files only (no random access into
+    compressed streams).
     """
-    from ibu_tpu.io.compression import as_buffered, open_decompressed
+    from ibu_tpu.io.compression import (
+        as_buffered,
+        open_decompressed,
+        sniff_compression,
+    )
+
+    if byte_range is not None:
+        with open(path, "rb") as probe:
+            kind = sniff_compression(probe.read(4))
+        if kind is not None:
+            raise ValueError(
+                f"{path} is {kind}-compressed; byte_range needs random "
+                "access — decompress first"
+            )
 
     take = np.arange(prefix_len)
     pend: list[np.ndarray] = []  # parsed row blocks awaiting batch emit
@@ -540,9 +564,20 @@ def fastq_prefix_batches(
             pend, pn = [block[batch:]], pn - batch
 
     carry = b""
-    line_base = 0
-    with as_buffered(open_decompressed(path)) as f:
-        while True:
+    abs0 = byte_range[0] if byte_range else 0  # file offset of carry start
+    end_byte = byte_range[1] if byte_range else None
+    done = False
+    # byte_range is verified-plain above: open raw (the sniffing wrapper
+    # is not seekable), seek straight to the aligned start
+    opener = (
+        (lambda: open(path, "rb"))
+        if byte_range is not None
+        else (lambda: as_buffered(open_decompressed(path)))
+    )
+    with opener() as f:
+        if byte_range:
+            f.seek(byte_range[0])
+        while not done:
             chunk = f.read(chunk_bytes)
             if not chunk:
                 break
@@ -552,15 +587,25 @@ def fastq_prefix_batches(
             if len(nl) == 0:
                 carry = data
                 continue
-            carry = data[int(nl[-1]) + 1:]
             starts = np.concatenate(([0], nl[:-1] + 1))
-            rows = _rows_from(arr, starts, nl, line_base)
-            line_base += len(starts)
+            n_lines = len(starts)
+            if end_byte is not None:
+                # lines whose FIRST byte is past the range end belong to
+                # the next shard; the last owned one still ends at its nl
+                n_lines = int(np.searchsorted(starts, end_byte - abs0))
+                done = n_lines < len(starts)
+            carry = data[int(nl[-1]) + 1:]
+            rows = _rows_from(
+                arr, starts[:n_lines], nl[:n_lines], line_base
+            )
+            line_base += n_lines
+            abs0 += int(nl[-1]) + 1
             if rows is not None:
                 pend.append(rows)
                 pn += len(rows)
                 yield from _emit_ready()
-    if carry:  # final line without a trailing newline
+    if carry and not done and (end_byte is None or abs0 < end_byte):
+        # final line without a trailing newline
         arr = np.frombuffer(carry, dtype=np.uint8)
         rows = _rows_from(
             arr, np.array([0]), np.array([len(arr)]), line_base

@@ -372,6 +372,61 @@ def test_cli_distributed_count(tmp_path):
         )
 
 
+@pytest.mark.slow
+def test_cli_distributed_ingest_fastq(tmp_path):
+    """Pod-wide FASTQ ingest: raw byte ranges align to line starts, the
+    newline-count allgather fixes the 4-line phase and global read
+    indices, each host encodes+pwrites its shard, and the pod mesh sort
+    finishes — output must be byte-identical to the single-host ingest
+    (the byte cut lands mid-read by construction: variable-length names
+    make the read size non-constant)."""
+    import filecmp
+
+    from ibu_tpu.pipelines import ingest_fastq
+
+    n = 25_013
+    rng = np.random.default_rng(33)
+    alphabet = np.frombuffer(b"ACGT", dtype=np.uint8)
+    fq = tmp_path / "reads.fastq"
+    with open(fq, "wb") as f:
+        for i in range(n):
+            seq = bytes(rng.choice(alphabet, 28))
+            f.write(b"@read_%d\n%s\n+\n%s\n" % (i, seq, b"F" * 28))
+    d_out, s_out = str(tmp_path / "d.ibu"), str(tmp_path / "s.ibu")
+    outs = _run_cohort(["ingest-fastq", str(fq), d_out])
+    line = [l for l in outs[0][1].splitlines() if "ingested" in l]
+    assert line and f"ingested {n} reads" in line[0]
+    assert not any("ingested" in l for l in outs[1][1].splitlines())
+    ingest_fastq(str(fq), s_out, 16, 12)
+    assert filecmp.cmp(d_out, s_out, shallow=False)
+    assert not os.path.exists(d_out + ".mhingest.tmp")
+
+    # compressed FASTQ: clear refusal on EVERY rank (both sniff the same
+    # bytes and raise before any collective — no deadlock)
+    import gzip
+
+    gz = tmp_path / "reads.fastq.gz"
+    gz.write_bytes(gzip.compress(fq.read_bytes()[:400]))
+    port = _free_port()
+    env = _cohort_env()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "ibu_tpu", "ingest-fastq", str(gz),
+             str(tmp_path / "x.ibu"), "--distributed",
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(r)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        )
+        for r in range(2)
+    ]
+    for r, p in enumerate(procs):
+        _, err = p.communicate(timeout=120)
+        assert p.returncode == 1 and "no random access" in err, (
+            f"rank {r}: rc={p.returncode}\n{err[-1500:]}"
+        )
+
+
 def test_cli_distributed_flag_validation(tmp_path):
     """--distributed refuses engines/inputs it cannot shard (fast, no cohort)."""
     path = str(tmp_path / "t.ibu")

@@ -42,6 +42,37 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _cohort_checkpoint(
+    failed: BaseException | None, stage: str, extra=()
+) -> np.ndarray:
+    """Collective failure gate (the cohort rule: any local failure must
+    reach the next collective AS DATA, not as control flow — a lone rank
+    raising before an allgather/barrier deadlocks the rest until the
+    runtime heartbeat timeout).
+
+    Allgathers a failure flag plus optional int lanes; if ANY rank
+    failed, every rank raises together (its own exception, or a pointer
+    to the failing rank). On success returns the gathered extra lanes as
+    an ``(nprocs, len(extra))`` array. The allgather doubles as a
+    barrier, so callers sequencing filesystem work can drop their
+    explicit ``sync_global_devices``.
+    """
+    from jax.experimental import multihost_utils
+
+    lane = [int(failed is not None)] + [int(v) for v in extra]
+    gathered = multihost_utils.process_allgather(
+        np.asarray([lane], dtype=np.int64)
+    ).reshape(jax.process_count(), len(lane))
+    if gathered[:, 0].any():
+        if failed is not None:
+            raise failed
+        raise ValueError(
+            f"multihost operation failed on another process during "
+            f"{stage} (see that rank's error)"
+        )
+    return gathered[:, 1:]
+
+
 def _pwrite_all(fd: int, data, offset: int) -> None:
     """``os.pwrite`` until every byte lands: pwrite may return short
     (ENOSPC after partial progress, signal interruption, NFS/Lustre
@@ -884,8 +915,6 @@ def multihost_count_matrix(
     fails together instead of the healthy ranks deadlocking at the next
     collective.
     """
-    from jax.experimental import multihost_utils
-
     from ibu_tpu.pipelines import (
         _count_pairs_from_partials,
         _count_range_partial,
@@ -908,26 +937,11 @@ def multihost_count_matrix(
     pid = jax.process_index()
     nprocs = jax.process_count()
 
-    # Every collective below is preceded by catching local failures into
-    # `failed`: a lone rank raising before a collective would deadlock the
-    # rest of the cohort until the runtime heartbeat timeout, so EVERY
-    # error (order verification, shared-FS I/O, the .mtx write) travels
-    # through a checkpoint allgather and all ranks fail together.
+    # EVERY error below (order verification, shared-FS I/O, the .mtx
+    # write) travels through a _cohort_checkpoint so all ranks fail
+    # together instead of the healthy ones deadlocking at the next
+    # collective.
     failed: BaseException | None = None
-
-    def _checkpoint(stage: str, extra=()) -> np.ndarray:
-        lane = [int(failed is not None)] + [int(v) for v in extra]
-        gathered = multihost_utils.process_allgather(
-            np.asarray([lane], dtype=np.int64)
-        ).reshape(nprocs, len(lane))
-        if gathered[:, 0].any():
-            if failed is not None:
-                raise failed
-            raise ValueError(
-                f"multihost count failed on another process during "
-                f"{stage} (see that rank's error)"
-            )
-        return gathered[:, 1:]
 
     part_path = f"{out_prefix}.mh_count.part{pid}.npz"
     try:
@@ -942,7 +956,7 @@ def multihost_count_matrix(
             np.savez(part_path, **payload)
         except BaseException as e:
             failed = e
-        _checkpoint("the range-partial pass")
+        _cohort_checkpoint(failed, "the range-partial pass")
 
         # process 0 alone pays the shared-FS reads + global merge + write;
         # the 5-int stats ride the completion checkpoint to every rank
@@ -969,8 +983,8 @@ def multihost_count_matrix(
                 )
             except BaseException as e:
                 failed = e
-        gathered = _checkpoint(
-            "the merge/write", (stats[k] for k in stat_keys)
+        gathered = _cohort_checkpoint(
+            failed, "the merge/write", (stats[k] for k in stat_keys)
         )
         return dict(zip(stat_keys, (int(v) for v in gathered[0])))
     finally:
@@ -1050,7 +1064,9 @@ def multihost_ingest_fastq(
     prefix_len = bc_len + umi_len
     size = os.path.getsize(fastq_path)
     lo, hi = partition(size, nprocs)[pid]
-    mm = np.memmap(fastq_path, np.uint8) if size else None
+    # mode="r": pod-shared inputs are routinely on read-only mounts (the
+    # memmap default "r+" would fail there while single-host ingest works)
+    mm = np.memmap(fastq_path, np.uint8, mode="r") if size else None
 
     # newlines in my raw range + my aligned start (first line start >= lo)
     nl_mine = 0
@@ -1097,36 +1113,36 @@ def multihost_ingest_fastq(
     base = int(sum(reads[:pid]))
 
     failed: BaseException | None = None
-
-    def _checkpoint(stage: str) -> None:
-        flags = multihost_utils.process_allgather(
-            np.asarray([[int(failed is not None)]], dtype=np.int64)
-        )
-        if flags.any():
-            if failed is not None:
-                raise failed
-            raise ValueError(
-                f"multihost ingest failed on another process during "
-                f"{stage} (see that rank's error)"
-            )
-
     tmp = ibu_path + ".mhingest.tmp"
     header = Header.new(bc_len, umi_len)
-    if pid == 0:
-        with open(tmp, "wb") as f:
-            f.write(header.as_bytes())
-            f.truncate(HEADER_SIZE + RECORD_SIZE * total)
-    multihost_utils.sync_global_devices("ibu_multihost_ingest_created")
-
     try:
+        # output creation rides the checkpoint too (the cohort rule): a
+        # rank-0 quota/permission error must fail every rank, not leave
+        # the others blocked at a bare barrier
+        try:
+            if pid == 0:
+                with open(tmp, "wb") as f:
+                    f.write(header.as_bytes())
+                    f.truncate(HEADER_SIZE + RECORD_SIZE * total)
+        except BaseException as e:
+            failed = e
+        _cohort_checkpoint(failed, "output creation")
+
         written = 0
         try:
             fd = os.open(tmp, os.O_WRONLY)
             try:
                 pos_out = HEADER_SIZE + RECORD_SIZE * base
-                for prefixes in fastq_prefix_batches(
-                    fastq_path, prefix_len, batch,
-                    byte_range=(aligned, hi), line_base=line_base,
+                # parse ahead on a background thread, exactly like the
+                # single-host ingest: inflation/parsing overlaps encode
+                from ibu_tpu.io.stream import thread_prefetched
+
+                for prefixes in thread_prefetched(
+                    fastq_prefix_batches(
+                        fastq_path, prefix_len, batch,
+                        byte_range=(aligned, hi), line_base=line_base,
+                    ),
+                    depth=2,
                 ):
                     if validate:
                         C.np_validate_ascii(prefixes)
@@ -1150,17 +1166,14 @@ def multihost_ingest_fastq(
                 )
         except BaseException as e:
             failed = e
-        _checkpoint("the parse/encode pass")
+        _cohort_checkpoint(failed, "the parse/encode pass")
 
+        # a pre-existing ibu_path is only replaced by the sort stage,
+        # which cleans up its own partial writes on failure — no outer
+        # unlink of the output (it would destroy an older good file on a
+        # parse error that never touched it)
         multihost_sort_file(tmp, ibu_path)
         return total
-    except BaseException:
-        if pid == 0:
-            try:
-                os.unlink(ibu_path)
-            except OSError:
-                pass
-        raise
     finally:
         if pid == 0:
             try:

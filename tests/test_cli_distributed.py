@@ -401,6 +401,36 @@ def test_cli_distributed_ingest_fastq(tmp_path):
     assert filecmp.cmp(d_out, s_out, shallow=False)
     assert not os.path.exists(d_out + ".mhingest.tmp")
 
+    # a parse failure (short read in rank 1's range) must fail BOTH ranks
+    # cohort-uniformly and leave the pre-existing output untouched (only
+    # the sort stage writes it, and that never ran)
+    bad = tmp_path / "bad.fastq"
+    with open(bad, "wb") as f:
+        for i in range(2000):
+            seq = b"ACG" if i == 1999 else bytes(rng.choice(alphabet, 28))
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, seq, b"F" * len(seq)))
+    before = open(d_out, "rb").read()
+    port = _free_port()
+    env = _cohort_env()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "ibu_tpu", "ingest-fastq", str(bad),
+             d_out, "--distributed", "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(r)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        )
+        for r in range(2)
+    ]
+    for r, p in enumerate(procs):
+        _, err = p.communicate(timeout=120)
+        assert p.returncode == 1, f"rank {r}: rc={p.returncode}\n{err[-1500:]}"
+        assert "shorter than" in err or "another process" in err, err[-1000:]
+    assert open(d_out, "rb").read() == before, (
+        "failed ingest must not touch a pre-existing output"
+    )
+    assert not os.path.exists(d_out + ".mhingest.tmp")
+
     # compressed FASTQ: clear refusal on EVERY rank (both sniff the same
     # bytes and raise before any collective — no deadlock)
     import gzip

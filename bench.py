@@ -219,23 +219,12 @@ def bench_roundtrip(
     }
 
 
-def bench_stream_file_stats(n: int) -> dict:
-    """End-to-end streamed file→device stats throughput (VERDICT r3 #4).
-
-    Measures the flagship streaming engine — mmap → prefetched placement →
-    sharded per-batch stats → merged result — over a REAL on-disk file, so
-    transport and dispatch are in the loop (the codec bench above is
-    device-resident only; an engine regression would be invisible to it).
-    The result is verified against a host checksum oracle every run.
-    """
+def _stream_bench_file(n: int) -> str:
     import os
 
     from ibu_tpu.constructs.record import make_records
-    from ibu_tpu.io.mmap import MmapReader
     from ibu_tpu.io.writer import Writer
     from ibu_tpu.constructs.header import Header
-    from ibu_tpu.ops.stats import checksum_records_np
-    from ibu_tpu.parallel.device import make_mesh, stream_file_stats
 
     path = f"/tmp/ibu_bench_stream_{n}.ibu"
     if not os.path.exists(path) or os.path.getsize(path) != 32 + 24 * n:
@@ -248,6 +237,23 @@ def bench_stream_file_stats(n: int) -> dict:
         with Writer.from_path(path, Header.new(16, 12)) as w:
             w.write_batch(recs)
         log(f"stream bench file created: {path} ({24 * n / 1e6:.0f} MB)")
+    return path
+
+
+def bench_stream_file_stats(n: int) -> dict:
+    """End-to-end streamed file→device stats throughput (VERDICT r3 #4).
+
+    Measures the flagship streaming engine — mmap → prefetched placement →
+    sharded per-batch stats → merged result — over a REAL on-disk file, so
+    transport and dispatch are in the loop (the codec bench above is
+    device-resident only; an engine regression would be invisible to it).
+    The result is verified against a host checksum oracle every run.
+    """
+    from ibu_tpu.io.mmap import MmapReader
+    from ibu_tpu.ops.stats import checksum_records_np
+    from ibu_tpu.parallel.device import make_mesh, stream_file_stats
+
+    path = _stream_bench_file(n)
     reader = MmapReader(path)
     mesh = make_mesh()
     got = stream_file_stats(reader, mesh=mesh)  # warm-up: compile + run
@@ -263,6 +269,40 @@ def bench_stream_file_stats(n: int) -> dict:
         best = min(best, time.perf_counter() - t0)
     return {
         "records": n,
+        "seconds": round(best, 4),
+        "mrec_s": round(n / best / 1e6, 1),
+        "gbps": round(n * 24 / best / 1e9, 3),
+    }
+
+
+def bench_stream_auto(n: int) -> dict:
+    """End-to-end whole-file stats through the PRODUCT path
+    (``pipelines.file_stats(engine="auto")``, VERDICT r4 #1): probes the
+    transport and the native host engine, routes to the fastest engine on
+    this box, and reports what users actually get — a starved device link
+    must never drag the shipped number 300× below the best engine here.
+    Oracle-verified every run.
+    """
+    from ibu_tpu.io.mmap import MmapReader
+    from ibu_tpu.ops.stats import checksum_records_np
+    from ibu_tpu.pipelines import file_stats
+
+    path = _stream_bench_file(n)
+    got = file_stats(path, engine="auto")  # warm: probes + compile + run
+    engine = got.pop("engine")
+    want = checksum_records_np(np.asarray(MmapReader(path).records))
+    assert got["count"] == n, (got["count"], n)
+    assert (got["barcode_sum"], got["umi_sum"], got["index_sum"]) == want, (
+        f"file_stats(engine={engine}) diverged from the host oracle"
+    )
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        file_stats(path, engine=engine)  # engine pinned: time the run, not the probe
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "records": n,
+        "engine": engine,
         "seconds": round(best, 4),
         "mrec_s": round(n / best / 1e6, 1),
         "gbps": round(n * 24 / best / 1e9, 3),
@@ -340,13 +380,21 @@ def main() -> None:
     stream_n = (
         args.records if args.stream_records is None else args.stream_records
     )
-    stream = None
+    stream = stream_device = None
     if stream_n:
-        stream = bench_stream_file_stats(stream_n)
+        stream = bench_stream_auto(stream_n)
         log(
-            f"stream_file_stats end-to-end: {stream['records']} records in "
-            f"{stream['seconds']} s = {stream['mrec_s']} Mrec/s "
-            f"({stream['gbps']} GB/s of wire data), oracle-verified"
+            f"file_stats auto end-to-end: {stream['records']} records via "
+            f"the {stream['engine']} engine in {stream['seconds']} s = "
+            f"{stream['mrec_s']} Mrec/s ({stream['gbps']} GB/s of wire "
+            "data), oracle-verified"
+        )
+        stream_device = bench_stream_file_stats(stream_n)
+        log(
+            f"stream_file_stats (device path): {stream_device['records']} "
+            f"records in {stream_device['seconds']} s = "
+            f"{stream_device['mrec_s']} Mrec/s "
+            f"({stream_device['gbps']} GB/s of wire data), oracle-verified"
         )
 
     payload = {
@@ -358,6 +406,8 @@ def main() -> None:
     }
     if stream is not None:
         payload["stream"] = stream
+    if stream_device is not None:
+        payload["stream_device"] = stream_device
     print(json.dumps(payload))
 
 

@@ -136,16 +136,15 @@ def cmd_stats(args) -> int:
     from ibu_tpu.utils import apply_platform_env
 
     apply_platform_env()
-    from ibu_tpu import MmapReader
     from ibu_tpu.io.compression import sniff_compression
 
     with open(args.path, "rb") as f:
         kind = sniff_compression(f.read(4))
 
     if args.distributed:
-        if args.engine == "native":
-            print("--distributed shards over the jax device mesh; drop "
-                  "--engine native", file=sys.stderr)
+        if args.engine in ("native", "host"):
+            print(f"--distributed shards over the jax device mesh; drop "
+                  f"--engine {args.engine}", file=sys.stderr)
             return 2
         if kind is not None:
             print(f"{args.path} is {kind}-compressed; --distributed needs "
@@ -160,43 +159,46 @@ def cmd_stats(args) -> int:
             print(json.dumps(stats))
         return 0
 
-    if args.engine == "native":
-        if kind is not None:
+    if kind is not None:
+        if args.engine == "native":
             print(f"{args.path} is {kind}-compressed; the native engine "
                   "needs random access — decompress first or use the "
                   "default engine (streams compressed files)",
                   file=sys.stderr)
             return 1
-        from ibu_tpu import native
+        if args.engine == "device":
+            # forced device: stream decoded record batches through the
+            # same sharded MapReduce the mmap path uses
+            from ibu_tpu import Reader
+            from ibu_tpu.parallel.device import (
+                STATS_MAP_REDUCE,
+                finalize_stats,
+            )
 
-        if not native.available():
-            print(f"native runtime unavailable: {native.load_error()}",
-                  file=sys.stderr)
-            return 1
-        r = MmapReader(args.path)
-        bc, umi, idx = native.checksum_parallel(args.path, r.len())
-        stats = {
-            "count": r.len(),
-            "barcode_sum": bc,
-            "umi_sum": umi,
-            "index_sum": idx,
-        }
-    elif kind is not None:
-        # compressed: stream decoded record batches through the same
-        # sharded MapReduce the mmap path uses (like `info`, which also
-        # streams compressed inputs)
-        from ibu_tpu import Reader
-        from ibu_tpu.parallel.device import (
-            STATS_MAP_REDUCE,
-            finalize_stats,
-        )
+            merged = STATS_MAP_REDUCE.run(
+                Reader.from_path(args.path).batches()
+            )
+            stats = finalize_stats(merged)
+        else:
+            # auto/host: a compressed stream is decompression-bound on the
+            # host anyway — sum the decoded batches right there instead of
+            # shipping them across the device link
+            from ibu_tpu import Reader
+            from ibu_tpu.pipelines import host_stream_stats
 
-        merged = STATS_MAP_REDUCE.run(Reader.from_path(args.path).batches())
-        stats = finalize_stats(merged)
+            stats = host_stream_stats(Reader.from_path(args.path).batches())
     else:
-        from ibu_tpu.parallel.device import stream_file_stats
+        if args.engine == "native":
+            from ibu_tpu import native
 
-        stats = stream_file_stats(MmapReader(args.path))
+            if not native.available():
+                print(f"native runtime unavailable: {native.load_error()}",
+                      file=sys.stderr)
+                return 1
+        from ibu_tpu.pipelines import file_stats
+
+        stats = file_stats(args.path, engine=args.engine)
+        stats.pop("engine", None)  # identical JSON across engines
     print(json.dumps(stats))
     return 0
 
@@ -259,6 +261,10 @@ def cmd_histogram(args) -> int:
     with open(args.path, "rb") as f:
         kind = sniff_compression(f.read(4))
     if args.distributed:
+        if args.engine == "host":
+            print("--distributed shards over the jax device mesh; drop "
+                  "--engine host", file=sys.stderr)
+            return 2
         if kind is not None:
             print(f"{args.path} is {kind}-compressed; --distributed needs "
                   "per-host random access — decompress first",
@@ -280,13 +286,37 @@ def cmd_histogram(args) -> int:
             reader = MmapReader(args.path)
             bc_len = reader.header().bc_len
             batches = record_batches_from_mmap(reader)
+            n_records = reader.len()
         else:  # gzip/zstd: stream decoded batches into the same engines
             from ibu_tpu import Reader
 
             r = Reader.from_path(args.path)
             bc_len = r.header().bc_len
             batches = r.batches()
-        if args.device_table:
+            n_records = -1  # unknown without a full pass
+        engine = args.engine
+        if engine == "host" and args.device_table:
+            print("--device-table is a device-engine option; drop it or "
+                  "use --engine device", file=sys.stderr)
+            return 2
+        if engine == "auto":
+            if args.device_table:
+                # an explicit device-table capacity chooses the device
+                # table engine; no probe
+                engine = "device"
+            elif kind is not None:
+                # a compressed stream is decompression-bound on the host
+                # anyway — no reason to cross the device link
+                engine = "host"
+            else:
+                from ibu_tpu.parallel.select import auto_device_or_host
+
+                engine = auto_device_or_host(args.path, n_records)
+        if engine == "host":
+            from ibu_tpu.pipelines import host_stream_histogram
+
+            hist = host_stream_histogram(batches)
+        elif args.device_table:
             from ibu_tpu.parallel.device import DeviceHistogram
 
             hist = DeviceHistogram(
@@ -298,7 +328,9 @@ def cmd_histogram(args) -> int:
                 batches,
                 max_uniques_per_shard=args.max_uniques,
             )
-    top = sorted(hist.items(), key=lambda kv: -kv[1])[: args.top]
+    # ties break by ascending barcode so the listing is deterministic
+    # across engines (auto may pick different ones for plain vs compressed)
+    top = sorted(hist.items(), key=lambda kv: (-kv[1], kv[0]))[: args.top]
     for barcode, count in top:
         seq = C.decode_seqs(np.array([barcode], dtype=np.uint64), bc_len)[0]
         print(f"{seq}\t{count}")
@@ -687,10 +719,12 @@ def main(argv=None) -> int:
     p = sub.add_parser("stats", help="count + exact field checksums")
     p.add_argument("path")
     p.add_argument(
-        "--engine", choices=("device", "native"), default="device",
-        help="device: streamed mesh engine (collective-merged); native: "
-             "threaded host engine (fastest when no accelerator is "
-             "attached)",
+        "--engine", choices=("auto", "device", "native", "host"),
+        default="auto",
+        help="auto (default): probe the host->device link once and run "
+             "the fastest engine on this box, announcing the choice on "
+             "stderr; device: streamed mesh engine (collective-merged); "
+             "native: threaded host engine; host: single-thread numpy",
     )
     _add_distributed_args(p)
     p.set_defaults(fn=cmd_stats)
@@ -713,6 +747,12 @@ def main(argv=None) -> int:
     p = sub.add_parser("histogram", help="per-barcode counts")
     p.add_argument("path")
     p.add_argument("--top", type=int, default=20)
+    p.add_argument(
+        "--engine", choices=("auto", "device", "host"), default="auto",
+        help="auto (default): probe the host->device link once and pick "
+             "device vs host; device: sharded mesh histogram; host: "
+             "numpy np.unique merge (no device)",
+    )
     p.add_argument("--max-uniques", type=int, default=1 << 16,
                    help="per-shard unique-barcode capacity")
     p.add_argument("--device-table", type=int, default=0, metavar="CAP",

@@ -443,11 +443,18 @@ def multihost_sort_file(
     out_header = Header.new(header.bc_len, header.umi_len)
     out_header.flags = header.flags
     out_header.set_sorted()
-    if pid == 0:
-        with open(out_path, "wb") as f:
-            f.write(out_header.as_bytes())
-            f.truncate(HEADER_SIZE + RECORD_SIZE * b)
-    multihost_utils.sync_global_devices("ibu_multihost_sort_created")
+    # rank 0's create rides the checkpoint (cohort rule): a quota/
+    # permission error must fail every rank together, not strand the
+    # others at a bare barrier until the heartbeat timeout
+    failed: BaseException | None = None
+    try:
+        if pid == 0:
+            with open(out_path, "wb") as f:
+                f.write(out_header.as_bytes())
+                f.truncate(HEADER_SIZE + RECORD_SIZE * b)
+    except BaseException as e:
+        failed = e
+    _cohort_checkpoint(failed, "output creation")
     rows_per = out_raw.shape[0] // s
     try:
         fd = os.open(out_path, os.O_WRONLY)
@@ -459,10 +466,14 @@ def multihost_sort_file(
                             int(offsets[g]))
         finally:
             os.close(fd)
-        multihost_utils.sync_global_devices("ibu_multihost_sort_written")
+    except BaseException as e:
+        failed = e
+    try:
+        _cohort_checkpoint(failed, "the write pass")
     except BaseException:
         # a partial cooperative write must not survive as a full-size
-        # sorted-flagged file whose dead ranges are zero records
+        # sorted-flagged file whose dead ranges are zero records (the
+        # checkpoint raises on every rank together; unlink is guarded)
         try:
             os.unlink(out_path)
         except OSError:
@@ -595,11 +606,18 @@ def multihost_dedup_file(
         out_header = Header.new(header.bc_len, header.umi_len)
         out_header.flags = header.flags
         out_header.set_sorted()
-        if jax.process_index() == 0:
-            with open(out_path, "wb") as f:
-                f.write(out_header.as_bytes())
-                f.truncate(HEADER_SIZE + RECORD_SIZE * total_kept)
-        multihost_utils.sync_global_devices("ibu_multihost_dedup_created")
+        # rank 0's create follows the cohort rule (failure travels as
+        # data): a quota/permission error must fail every rank, not leave
+        # the others blocked at a bare barrier
+        failed: BaseException | None = None
+        try:
+            if jax.process_index() == 0:
+                with open(out_path, "wb") as f:
+                    f.write(out_header.as_bytes())
+                    f.truncate(HEADER_SIZE + RECORD_SIZE * total_kept)
+        except BaseException as e:
+            failed = e
+        _cohort_checkpoint(failed, "output creation")
 
         pos_out = HEADER_SIZE + RECORD_SIZE * my_offset
         try:
@@ -611,12 +629,15 @@ def multihost_dedup_file(
                     pos_out += len(data)
             finally:
                 os.close(fd)
-            multihost_utils.sync_global_devices("ibu_multihost_dedup_written")
+        except BaseException as e:
+            failed = e
+        try:
+            _cohort_checkpoint(failed, "the write pass")
         except BaseException:
             # a partial cooperative write would otherwise survive as a
             # full-size, valid-looking file whose dead ranges are zero
-            # records (_removed_on_error parity, best-effort: the barrier
-            # failure lands every live rank here)
+            # records (_removed_on_error parity; the checkpoint raises on
+            # every rank together, so each unlinks, guarded)
             try:
                 os.unlink(out_path)
             except OSError:
@@ -624,7 +645,13 @@ def multihost_dedup_file(
             raise
     finally:
         if tmp is not None and jax.process_index() == 0:
-            os.unlink(tmp)
+            # shared-FS unlink can fail (ESTALE/EACCES, already gone); an
+            # OSError raised from finally would replace the in-flight
+            # exception — match the guarded cleanup of multihost_ingest_fastq
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
     return {
         "records": n,
@@ -743,11 +770,18 @@ def _multihost_rewrite(
                 prev_last = tuple(int(v) for v in row[base + 5:base + 8])
 
     my_offset = int(gathered[: jax.process_index(), 0].sum())
-    if jax.process_index() == 0:
-        with open(out_path, "wb") as f:
-            f.write(out_header.as_bytes())
-            f.truncate(HEADER_SIZE + RECORD_SIZE * total_kept)
-    multihost_utils.sync_global_devices("ibu_multihost_rewrite_created")
+    # the cohort rule applies to rank 0's create too: a quota/permission/
+    # ENOSPC failure here must reach every rank as data, not strand them
+    # at a bare barrier until the heartbeat timeout
+    failed: BaseException | None = None
+    try:
+        if jax.process_index() == 0:
+            with open(out_path, "wb") as f:
+                f.write(out_header.as_bytes())
+                f.truncate(HEADER_SIZE + RECORD_SIZE * total_kept)
+    except BaseException as e:
+        failed = e
+    _cohort_checkpoint(failed, "output creation")
 
     pos_out = HEADER_SIZE + RECORD_SIZE * my_offset
     try:
@@ -767,11 +801,15 @@ def _multihost_rewrite(
             os.close(fd)
             if spool_file is not None:
                 spool_file.close()
-        multihost_utils.sync_global_devices("ibu_multihost_rewrite_written")
+    except BaseException as e:
+        failed = e
+    try:
+        _cohort_checkpoint(failed, "the write pass")
     except BaseException:
         # _removed_on_error parity: a partial cooperative write must not
-        # survive as a full-size file whose dead ranges are zero records
-        # (the barrier failure lands every live rank here, best-effort)
+        # survive as a full-size file whose dead ranges are zero records.
+        # The checkpoint raises on EVERY rank together, so each unlinks
+        # (guarded — another rank may already have removed it).
         try:
             os.unlink(out_path)
         except OSError:
@@ -1187,7 +1225,7 @@ def multihost_export_fastq(
     fastq_path: str,
     batch_records: int = 1 << 20,
     qual: str = "I",
-) -> tuple[int, str]:
+) -> tuple[int, int, str]:
     """Pod-scale FASTQ export: every host decodes only its record range
     into its own shard file (``reads.fastq.gz`` → ``reads.part3.fastq.gz``
     on process 3 — per-host shards are the operational FASTQ convention,

@@ -1038,6 +1038,117 @@ def lookup_barcodes(in_path: str, barcodes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def host_stream_stats(batches) -> dict:
+    """Count + exact u64 field checksums over an iterator of structured
+    record batches, pure single-process numpy.
+
+    The no-dependency fallback engine: vectorized column sums per batch
+    (uint64 accumulation wraps mod 2^64 — exactly the checksum semantics,
+    no object-dtype slow path). Memory-bound at ~1-2 GB/s; the native
+    threaded engine is preferred when built. Also the right engine for
+    compressed streams, which are decompression-bound on the host anyway.
+    """
+    n = 0
+    sums = [0, 0, 0]
+    for batch in batches:
+        batch = np.asarray(batch)
+        n += len(batch)
+        for i, f in enumerate(("barcode", "umi", "index")):
+            sums[i] = (sums[i] + int(batch[f].sum(dtype=np.uint64))) & (
+                (1 << 64) - 1
+            )
+    return {
+        "count": n,
+        "barcode_sum": sums[0],
+        "umi_sum": sums[1],
+        "index_sum": sums[2],
+    }
+
+
+def host_file_stats(
+    reader: MmapReader, batch_records: int = 4 * 1024 * 1024
+) -> dict:
+    """:func:`host_stream_stats` over a whole mapped file."""
+    n = reader.len()
+    return host_stream_stats(
+        reader.slice(start, min(start + batch_records, n))
+        for start in range(0, n, batch_records)
+    )
+
+
+def host_stream_histogram(batches) -> dict[int, int]:
+    """Barcode → count over an iterator of structured record batches,
+    pure host numpy (``np.unique`` partials, one final group-sum — the
+    same merge as :func:`barcode_counts`'s host engine, for callers that
+    hold batches rather than a path). The transport-free histogram
+    engine auto mode routes to when the device link is starved."""
+    part_bc: list[np.ndarray] = []
+    part_ct: list[np.ndarray] = []
+    for batch in batches:
+        u, c = np.unique(np.asarray(batch)["barcode"], return_counts=True)
+        part_bc.append(u)
+        part_ct.append(c.astype(np.int64))
+    if not part_bc:
+        return {}
+    all_bc = np.concatenate(part_bc)
+    all_ct = np.concatenate(part_ct)
+    order = np.argsort(all_bc, kind="stable")
+    all_bc, all_ct = all_bc[order], all_ct[order]
+    first = np.ones(len(all_bc), dtype=bool)
+    first[1:] = all_bc[1:] != all_bc[:-1]
+    starts = np.flatnonzero(first)
+    return dict(
+        zip(all_bc[starts].tolist(),
+            np.add.reduceat(all_ct, starts).tolist())
+    )
+
+
+def file_stats(path: str, engine: str = "auto") -> dict:
+    """Count + exact field checksums of a whole file — the flagship
+    single-host pass (``/root/reference/examples/parallel.rs:38-105``)
+    with **transport-aware engine selection**.
+
+    The device streaming engine has ~53 GB/s/chip capacity but is bounded
+    end-to-end by the host→device link; the reference gets its speed by
+    never crossing one (``mmap.rs:286-332``). ``engine="auto"`` probes the
+    link feed rate and the native host engine once per process
+    (:mod:`ibu_tpu.parallel.select`) and routes to the fastest engine on
+    this box, announcing the choice on stderr. ``"device"``/``"native"``/
+    ``"host"`` force a specific engine. The returned dict carries the
+    engine that ran under ``"engine"``; the stats keys are identical
+    across engines (tested).
+    """
+    _require_plain(path, "stats")
+    reader = MmapReader(path)
+    n = reader.len()
+    if engine == "auto":
+        from ibu_tpu.parallel.select import auto_stats_engine
+
+        engine = auto_stats_engine(path, n)
+    if engine == "native":
+        from ibu_tpu import native
+
+        if not native.available():
+            raise RuntimeError(
+                f"native runtime unavailable: {native.load_error()}"
+            )
+        bc, umi, idx = native.checksum_parallel(path, n)
+        stats = {
+            "count": n, "barcode_sum": bc, "umi_sum": umi, "index_sum": idx,
+        }
+    elif engine == "host":
+        stats = host_file_stats(reader)
+    elif engine == "device":
+        from ibu_tpu.parallel.device import stream_file_stats
+
+        stats = stream_file_stats(reader)
+    else:
+        raise ValueError(
+            f"engine must be auto/device/native/host, got {engine!r}"
+        )
+    return {**stats, "engine": engine}
+
+
 def barcode_counts(
     in_path: str,
     engine: str = "host",
@@ -1467,6 +1578,20 @@ def count_matrix(
     )
 
 
+def _format_mtx_entries(row1, col1, wcounts) -> str:
+    """Format 1-based MatrixMarket entry lines as one string (vectorized:
+    one str conversion + join — np.savetxt formats row-by-row in Python
+    and measures ~1.5x slower). Shared by the single-host writer and the
+    multihost per-rank block writers, so blocks concatenate byte-identical
+    to the single-host file."""
+    block = np.empty((len(row1), 3), dtype=np.int64)
+    block[:, 0] = row1
+    block[:, 1] = col1
+    block[:, 2] = wcounts
+    rows_txt = block.astype("U20").tolist()
+    return "\n".join(" ".join(r) for r in rows_txt) + "\n"
+
+
 def _write_count_outputs(
     out_prefix: str,
     in_path: str,
@@ -1476,41 +1601,29 @@ def _write_count_outputs(
     pair_idx: np.ndarray,
     counts,
     n: int,
-    write: bool = True,
 ) -> dict:
-    """Assemble + write the MatrixMarket trio from the unique pair table;
-    ``write=False`` computes only the stats dict (multihost ranks other
-    than process 0 — every rank derives identical stats from identical
-    merged tables without touching the filesystem)."""
+    """Assemble + write the MatrixMarket trio from the unique pair table."""
     barcodes = np.unique(pair_bc)
     indices = np.unique(pair_idx)
     counts = np.asarray(counts)
-    if write:
-        row = np.searchsorted(barcodes, pair_bc)
-        col = np.searchsorted(indices, pair_idx)
-        # deterministic entry order (row-major) regardless of engine
-        order = np.lexsort((col, row))
-        row, col = row[order], col[order]
-        wcounts = counts[order]
+    row = np.searchsorted(barcodes, pair_bc)
+    col = np.searchsorted(indices, pair_idx)
+    # deterministic entry order (row-major) regardless of engine
+    order = np.lexsort((col, row))
+    row, col = row[order], col[order]
+    wcounts = counts[order]
 
-        with open(f"{out_prefix}.mtx", "w") as f:
-            f.write("%%MatrixMarket matrix coordinate integer general\n")
-            f.write("%rows=barcodes cols=record-indices "
-                    f"source={in_path} dedup={dedup}\n")
-            f.write(f"{len(barcodes)} {len(indices)} {len(pair_bc)}\n")
-            if len(pair_bc):
-                block = np.empty((len(pair_bc), 3), dtype=np.int64)
-                block[:, 0] = row + 1
-                block[:, 1] = col + 1
-                block[:, 2] = wcounts
-                # one vectorized str conversion + join (np.savetxt formats
-                # row-by-row in Python and measures ~1.5x slower)
-                rows_txt = block.astype("U20").tolist()
-                f.write("\n".join(" ".join(r) for r in rows_txt) + "\n")
-        with open(f"{out_prefix}.barcodes.txt", "w") as f:
-            f.writelines(s + "\n" for s in C.decode_seqs(barcodes, bc_len))
-        with open(f"{out_prefix}.indices.txt", "w") as f:
-            f.writelines(f"{int(i)}\n" for i in indices)
+    with open(f"{out_prefix}.mtx", "w") as f:
+        f.write("%%MatrixMarket matrix coordinate integer general\n")
+        f.write("%rows=barcodes cols=record-indices "
+                f"source={in_path} dedup={dedup}\n")
+        f.write(f"{len(barcodes)} {len(indices)} {len(pair_bc)}\n")
+        if len(pair_bc):
+            f.write(_format_mtx_entries(row + 1, col + 1, wcounts))
+    with open(f"{out_prefix}.barcodes.txt", "w") as f:
+        f.writelines(s + "\n" for s in C.decode_seqs(barcodes, bc_len))
+    with open(f"{out_prefix}.indices.txt", "w") as f:
+        f.writelines(f"{int(i)}\n" for i in indices)
 
     return {
         "barcodes": int(len(barcodes)),

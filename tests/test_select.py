@@ -1,0 +1,229 @@
+"""Transport-aware engine auto-selection (VERDICT r4 #1).
+
+The decision function is pure and the probes take injected clocks, so the
+logic is tested deterministically with fake timers — no hardware
+assumptions. The end-to-end legs then assert every engine of
+``pipelines.file_stats`` returns identical stats on real files.
+"""
+
+import numpy as np
+import pytest
+
+from ibu_tpu.constructs.header import Header
+from ibu_tpu.constructs.record import make_records
+from ibu_tpu.io.writer import Writer
+from ibu_tpu.parallel import select
+from ibu_tpu.pipelines import file_stats, host_stream_histogram
+
+
+@pytest.fixture()
+def small_file(tmp_path):
+    rng = np.random.default_rng(3)
+    n = 20_000
+    recs = make_records(
+        rng.integers(0, 1 << 20, n).astype(np.uint64),
+        rng.integers(0, 1 << 24, n).astype(np.uint64),
+        np.arange(n, dtype=np.uint64),
+    )
+    path = tmp_path / "sel.ibu"
+    with Writer.from_path(str(path), Header.new(16, 12)) as w:
+        w.write_batch(recs)
+    return str(path), recs
+
+
+class TestDecision:
+    def test_starved_link_routes_to_native(self):
+        # the measured round-4 reality: 0.041 GB/s feed vs 516 Mrec/s native
+        engine, reason = select.choose_stats_engine(0.041, 516e6)
+        assert engine == "native"
+        assert "native" in reason
+
+    def test_healthy_link_routes_to_device(self):
+        # production PCIe/DMA: ≥8 GB/s feed = ~333 Mrec/s < is it? 8e9/24
+        # = 333 Mrec/s — against a 300 Mrec/s host box the device wins
+        engine, _ = select.choose_stats_engine(8.0, 300e6)
+        assert engine == "device"
+
+    def test_no_native_falls_back_to_host_numpy_bar(self):
+        # native unavailable: the bar is the pessimistic numpy estimate
+        engine, reason = select.choose_stats_engine(0.041, None)
+        assert engine == "host"
+        # a healthy link still beats the numpy bar
+        engine, _ = select.choose_stats_engine(8.0, None)
+        assert engine == "device"
+
+    def test_margin_biases_toward_host(self):
+        # equal rates: margin > 1 keeps the work on host
+        gbps = 24 * 100e6 / 1e9  # exactly 100 Mrec/s of feed
+        assert select.choose_stats_engine(gbps, 100e6)[0] == "device"
+        assert select.choose_stats_engine(gbps, 100e6, margin=1.5)[0] == "native"
+
+
+class TestProbesFakeClock:
+    def test_device_feed_fake_timer(self):
+        # scripted clock: every timed put appears to take exactly 1 s
+        times = iter([float(i) for i in range(100)])
+
+        def fake_timer():
+            return next(times)
+
+        gbps = select.measure_device_feed_gbps(
+            probe_bytes=1 << 20, timer=fake_timer, min_seconds=0.05,
+        )
+        # one put satisfies min_seconds at the fake 1 s/put; rate is
+        # nbytes / 1 s. rows are rounded to a mesh multiple of 24 B rows.
+        assert 0.5e-3 < gbps < 2e-3  # ~1 MB / 1 s ≈ 1e-3 GB/s
+
+    def test_native_probe_fake_timer(self, small_file):
+        from ibu_tpu import native
+
+        if not native.available():
+            pytest.skip("no native runtime on this box")
+        path, recs = small_file
+        times = iter([0.0, 2.0])
+        rate = select.measure_native_recs_per_s(
+            path, len(recs), probe_records=1 << 20, timer=lambda: next(times)
+        )
+        # 20k records / fake 2 s = 10k rec/s
+        assert rate == pytest.approx(len(recs) / 2.0)
+
+    def test_native_probe_none_when_empty(self, tmp_path):
+        p = tmp_path / "e.ibu"
+        with Writer.from_path(str(p), Header.new(16, 12)):
+            pass
+        assert select.measure_native_recs_per_s(str(p), 0) is None
+
+
+class TestMemoAndOverride:
+    def test_probe_rates_memoized(self, small_file, monkeypatch):
+        path, recs = small_file
+        calls = {"dev": 0, "nat": 0}
+
+        def fake_dev(mesh=None):
+            calls["dev"] += 1
+            return 5.0
+
+        def fake_nat(p, n):
+            calls["nat"] += 1
+            return 4e8
+
+        monkeypatch.setattr(select, "measure_device_feed_gbps", fake_dev)
+        monkeypatch.setattr(select, "measure_native_recs_per_s", fake_nat)
+        select.reset_probe_memo()
+        try:
+            r1 = select.probe_rates(path, len(recs))
+            r2 = select.probe_rates(path, len(recs))
+            assert r1 == r2 == {"device_gbps": 5.0, "native_recs": 4e8}
+            assert calls == {"dev": 1, "nat": 1}
+        finally:
+            select.reset_probe_memo()
+
+    def test_env_override_skips_probes(self, small_file, monkeypatch):
+        path, recs = small_file
+
+        def boom(*a, **k):
+            raise AssertionError("probe ran despite IBU_AUTO_ENGINE")
+
+        monkeypatch.setattr(select, "probe_rates", boom)
+        monkeypatch.setenv("IBU_AUTO_ENGINE", "host")
+        assert select.auto_stats_engine(path, len(recs)) == "host"
+        assert select.auto_device_or_host(path, len(recs)) == "host"
+        monkeypatch.setenv("IBU_AUTO_ENGINE", "native")
+        assert select.auto_device_or_host(path, len(recs)) == "host"
+        monkeypatch.setenv("IBU_AUTO_ENGINE", "device")
+        assert select.auto_device_or_host(path, len(recs)) == "device"
+
+    def test_announce_goes_to_stderr(self, small_file, monkeypatch, capsys):
+        path, recs = small_file
+        monkeypatch.setattr(
+            select, "probe_rates",
+            lambda *a, **k: {"device_gbps": 0.04, "native_recs": 5e8},
+        )
+        engine = select.auto_stats_engine(path, len(recs))
+        assert engine == "native"
+        err = capsys.readouterr().err
+        assert "engine auto" in err and "native" in err
+
+
+class TestFileStatsEngines:
+    def test_engines_agree_and_report(self, small_file, monkeypatch):
+        path, recs = small_file
+        mask = (1 << 64) - 1
+        want = {
+            "count": len(recs),
+            "barcode_sum": int(recs["barcode"].sum(dtype=object)) & mask,
+            "umi_sum": int(recs["umi"].sum(dtype=object)) & mask,
+            "index_sum": int(recs["index"].sum(dtype=object)) & mask,
+        }
+        host = file_stats(path, engine="host")
+        assert host == {**want, "engine": "host"}
+        device = file_stats(path, engine="device")
+        assert device == {**want, "engine": "device"}
+        from ibu_tpu import native
+
+        if native.available():
+            assert file_stats(path, engine="native") == {
+                **want, "engine": "native",
+            }
+        # auto resolves to one of the engines and agrees on the stats
+        monkeypatch.setenv("IBU_AUTO_ENGINE", "host")
+        assert file_stats(path, engine="auto") == {**want, "engine": "host"}
+
+    def test_unknown_engine_raises(self, small_file):
+        path, _ = small_file
+        with pytest.raises(ValueError, match="engine"):
+            file_stats(path, engine="quantum")
+
+
+class TestHostHistogram:
+    def test_matches_counter(self, small_file):
+        path, recs = small_file
+        from ibu_tpu.io.mmap import MmapReader
+        from ibu_tpu.parallel.device import record_batches_from_mmap
+
+        got = host_stream_histogram(
+            record_batches_from_mmap(MmapReader(path), 4096)
+        )
+        import collections
+
+        want = collections.Counter(recs["barcode"].tolist())
+        assert got == dict(want)
+
+    def test_empty(self):
+        assert host_stream_histogram(iter([])) == {}
+
+
+class TestCliAuto:
+    def test_stats_engine_flags(self, small_file, capsys, monkeypatch):
+        import json
+
+        from ibu_tpu.__main__ import main
+
+        path, recs = small_file
+        assert main(["stats", path, "--engine", "host"]) == 0
+        host_out = json.loads(capsys.readouterr().out)
+        assert host_out["count"] == len(recs)
+        assert "engine" not in host_out  # identical JSON across engines
+
+        monkeypatch.setenv("IBU_AUTO_ENGINE", "host")
+        assert main(["stats", path]) == 0  # auto default
+        assert json.loads(capsys.readouterr().out) == host_out
+
+    def test_histogram_host_engine_matches_device(self, small_file, capsys):
+        from ibu_tpu.__main__ import main
+
+        path, _ = small_file
+        assert main(["histogram", path, "--top", "5",
+                     "--engine", "device"]) == 0
+        want = capsys.readouterr().out
+        assert main(["histogram", path, "--top", "5",
+                     "--engine", "host"]) == 0
+        assert capsys.readouterr().out == want
+
+    def test_histogram_host_rejects_device_table(self, small_file, capsys):
+        from ibu_tpu.__main__ import main
+
+        path, _ = small_file
+        assert main(["histogram", path, "--engine", "host",
+                     "--device-table", "1024"]) == 2
+        assert "--device-table" in capsys.readouterr().err

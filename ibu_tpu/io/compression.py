@@ -117,6 +117,18 @@ class _ChainClosing:
         self._stream = stream
         self._also_close = also_close
 
+    @property
+    def name(self):
+        """The underlying stream's filesystem name, when it has one —
+        lets :meth:`ibu_tpu.io.reader.Reader.clone` re-open path-backed
+        decompression chains (matching the reference's universal
+        ``derive(Clone)`` on ``Reader<R: Clone>``, ``reader.rs:90``)."""
+        for s in self._also_close:
+            n = getattr(s, "name", None)
+            if n is not None:
+                return n
+        return getattr(self._stream, "name", None)
+
     def read(self, n: int = -1) -> bytes:
         return self._stream.read(n)
 
@@ -306,6 +318,34 @@ def open_decompressed(path: str) -> BinaryIO:
 
         raise IbuIoError(e) from e
     return wrap_decompress(raw)
+
+
+def reopen_decompressed_at(path: str, pos: int) -> BinaryIO:
+    """Fresh decompression chain over ``path``, fast-forwarded to ``pos``
+    DECOMPRESSED bytes.
+
+    The clone primitive for path-backed compressed readers: compressed
+    streams have no byte-position mapping to the file, so an independent
+    read position costs re-decompressing the prefix — O(pos), documented
+    on :meth:`ibu_tpu.io.reader.Reader.clone`. A stream that ends before
+    ``pos`` (the file changed underneath) raises :class:`CompressionError`.
+    """
+    s = open_decompressed(path)
+    try:
+        skipped = 0
+        while skipped < pos:
+            chunk = s.read(min(1 << 20, pos - skipped))
+            if not chunk:
+                raise CompressionError(
+                    f"{path}: stream ended at {skipped} decompressed bytes "
+                    f"while cloning a reader positioned at {pos} (file "
+                    "changed since the original open?)"
+                )
+            skipped += len(chunk)
+    except BaseException:
+        s.close()
+        raise
+    return s
 
 
 # -- write side (additive; the reference is read-side only) -----------------

@@ -53,22 +53,36 @@ DEFAULT_BUFFER_SIZE: int = DEFAULT_BUFFER_RECORDS * RECORD_SIZE
 def _clone_stream(inner: BinaryIO, fallback_pos: int) -> BinaryIO:
     """Duplicate a binary stream with an independent read position.
 
-    Supports :class:`io.BytesIO` and on-disk plain files (reopened by path
-    — ``dup``'d fds would share their offset). ``fallback_pos`` is the
-    logical stream position (the Reader's ``bytes_read``), used when the
-    stream cannot ``tell()`` (the non-seekable sniffing wrapper around
-    plain files). Raises :class:`TypeError` for non-cloneable streams — the
-    runtime analog of the reference's ``R: Clone`` bound (``reader.rs:90``).
+    Supports :class:`io.BytesIO`, on-disk plain files (reopened by path —
+    ``dup``'d fds would share their offset), and PATH-BACKED gzip/zstd
+    decompression chains (re-opened and fast-forwarded ``fallback_pos``
+    DECOMPRESSED bytes — compressed streams have no byte-position mapping
+    to the file, so this costs O(pos) re-decompression).
+    ``fallback_pos`` is the logical stream position (the Reader's
+    ``bytes_read``), also used when a plain stream cannot ``tell()`` (the
+    non-seekable sniffing wrapper). Raises :class:`TypeError` only for
+    truly source-less streams (stdin/pipe chains) — the runtime analog of
+    the reference's ``R: Clone`` bound (``reader.rs:90``), which is
+    universal over any cloneable inner.
     """
     import io
+
+    from ibu_tpu.io.compression import _ChainClosing, reopen_decompressed_at
 
     if isinstance(inner, io.BytesIO):
         dup = io.BytesIO(inner.getvalue())
         dup.seek(inner.tell())
         return dup
     name = getattr(inner, "name", None)
-    # decompression chains (gzip/zstd) never expose a clean byte-position
-    # mapping to the file; they are excluded by type (no ``name``)
+    if isinstance(inner, _ChainClosing):
+        # gzip/zstd chain: clone by re-open + skip, when a path backs it
+        if isinstance(name, str) and os.path.isfile(name):
+            return reopen_decompressed_at(name, fallback_pos)
+        raise TypeError(
+            "Reader over a source-less compressed stream (stdin/pipe) is "
+            "not cloneable; path-backed compressed readers clone by "
+            "re-open + skip (reference derive(Clone), reader.rs:90)"
+        )
     if isinstance(name, str) and os.path.isfile(name):
         try:
             pos = inner.tell()
@@ -82,9 +96,9 @@ def _clone_stream(inner: BinaryIO, fallback_pos: int) -> BinaryIO:
             raise
         return dup
     raise TypeError(
-        f"Reader over {type(inner).__name__} is not cloneable; only BytesIO "
-        "and plain disk files support clone() (the reference requires "
-        "R: Clone, reader.rs:90)"
+        f"Reader over {type(inner).__name__} is not cloneable; only "
+        "BytesIO, plain disk files, and path-backed compressed streams "
+        "support clone() (the reference requires R: Clone, reader.rs:90)"
     )
 
 
@@ -170,9 +184,13 @@ class Reader:
         * seekable plain files with a filesystem ``name`` — reopened and
           sought to the current offset (an independent fd, because ``dup``'d
           fds share their offset);
-        * anything else (stdin, gzip/zstd decompression chains) raises
-          :class:`TypeError`, the runtime analog of ``R: !Clone`` failing to
-          compile.
+        * path-backed gzip/zstd chains — a fresh decompression chain over
+          the same path, fast-forwarded to this reader's decompressed
+          position (O(position) re-decompression: compressed streams have
+          no byte-position mapping to the file);
+        * truly source-less streams (stdin/pipe chains) raise
+          :class:`TypeError`, the runtime analog of ``R: !Clone`` failing
+          to compile.
         """
         new = object.__new__(Reader)
         new._inner = _clone_stream(self._inner, self._bytes_read)

@@ -145,3 +145,18 @@ class TestRoundtrip:
         assert hash(a) == hash(b)
         b.set_sorted()
         assert a != b
+
+
+class TestSerde:
+    def test_header_json_roundtrip(self):
+        """Serde-feature parity (header.rs:48 derive): byte-identical
+        through a JSON round-trip, flags included."""
+        import json
+
+        h = Header.new(16, 12)
+        h.set_sorted()
+        back = Header.from_bytes(
+            Header.from_dict(json.loads(json.dumps(h.to_dict()))).as_bytes()
+        )
+        assert back.as_bytes() == h.as_bytes()
+        assert back.sorted()

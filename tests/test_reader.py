@@ -343,11 +343,53 @@ class TestClone:
         c = r.clone()
         assert len(list(c)) == len(list(r))
 
-    def test_clone_uncloneable_inner_raises(self, tmp_path):
-        """gzip decompression chains are not cloneable — the runtime
-        analog of R: !Clone failing to compile."""
+    def test_clone_gzip_path_mid_stream(self, tmp_path):
+        """Path-backed compressed readers clone by re-open + skip —
+        closing the reference's universal derive(Clone) surface
+        (reader.rs:90): any cloneable inner clones, including
+        niffler-wrapped files."""
         p = tmp_path / "c.ibu.gz"
-        p.write_bytes(gzip.compress(build_stream(5).getvalue()))
+        p.write_bytes(gzip.compress(build_stream(50).getvalue()))
         r = Reader.from_path(str(p))
+        first = [next(r) for _ in range(20)]
+        c = r.clone()
+        rest_r = list(r)
+        rest_c = list(c)
+        assert rest_r == rest_c
+        assert len(first) + len(rest_r) == 50
+        assert c.bytes_read == 32 + 50 * 24
+
+    def test_clone_zstd_path_mid_stream(self, tmp_path):
+        zstd = pytest.importorskip("zstandard")
+        p = tmp_path / "c.ibu.zst"
+        p.write_bytes(
+            zstd.ZstdCompressor(write_checksum=True).compress(
+                build_stream(50).getvalue()
+            )
+        )
+        r = Reader.from_path(str(p))
+        next(r)
+        c = r.clone()
+        assert list(c) == list(r)
+
+    def test_clone_compressed_clone_is_independent(self, tmp_path):
+        p = tmp_path / "c.ibu.gz"
+        p.write_bytes(gzip.compress(build_stream(30).getvalue()))
+        r = Reader.from_path(str(p))
+        c = r.clone()
+        list(r)  # exhaust the original
+        assert len(list(c)) == 30
+
+    def test_clone_stdin_like_chain_raises(self):
+        """Truly source-less compressed streams (stdin/pipes) remain
+        uncloneable — the runtime analog of R: !Clone failing to
+        compile."""
+        import io
+
+        from ibu_tpu.io.compression import wrap_decompress
+
+        gz = gzip.compress(build_stream(5).getvalue())
+        pipe_like = io.BytesIO(gz)  # no filesystem name, like a pipe
+        r = Reader(wrap_decompress(pipe_like))
         with pytest.raises(TypeError, match="not cloneable"):
             r.clone()

@@ -124,3 +124,37 @@ class TestBatchRecords:
         )
         s = sort_records(arr)
         assert s["barcode"].tolist() == [0, 1, U64_MAX]
+
+
+class TestSerde:
+    """Serde-feature parity (Cargo.toml:22-25; derives at record.rs:58,
+    header.rs:48): Record and Header serialize to/from plain dicts and
+    therefore to any dict-speaking format (JSON here)."""
+
+    def test_record_json_roundtrip(self):
+        import json
+
+        r = Record(barcode=U64_MAX, umi=1, index=2**63)
+        back = Record.from_dict(json.loads(json.dumps(r.to_dict())))
+        assert back == r
+        assert back.as_bytes() == r.as_bytes()
+
+    def test_record_batch_json_roundtrip(self):
+        import json
+
+        arr = make_records(
+            np.array([1, U64_MAX], dtype=np.uint64),
+            np.array([2, 5], dtype=np.uint64),
+            np.array([3, 6], dtype=np.uint64),
+        )
+        dicts = [
+            Record(int(r["barcode"]), int(r["umi"]), int(r["index"])).to_dict()
+            for r in arr
+        ]
+        payload = json.loads(json.dumps(dicts))
+        back = make_records(
+            np.array([d["barcode"] for d in payload], dtype=np.uint64),
+            np.array([d["umi"] for d in payload], dtype=np.uint64),
+            np.array([d["index"] for d in payload], dtype=np.uint64),
+        )
+        assert np.array_equal(back, arr)

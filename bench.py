@@ -309,6 +309,184 @@ def bench_stream_auto(n: int) -> dict:
     }
 
 
+def bench_histogram_device(batch_records: int = 1 << 20,
+                           buffers: int = 4) -> dict:
+    """Device-resident DeviceHistogram throughput, unsorted vs the
+    sorted-input fast path (VERDICT r4 #4) — transport excluded, slope
+    methodology of tools/histogram_capacity_lab.py. Tracked per round so
+    a histogram-engine regression is visible in BENCH_r*.json.
+    """
+    from ibu_tpu.parallel.device import DeviceHistogram, make_mesh, shard_batch
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(17)
+    out = {"batch_records": batch_records}
+    for is_sorted in (False, True):
+        hosts = []
+        for _ in range(buffers):
+            raw = np.zeros((batch_records, 6), dtype=np.uint32)
+            raw[:, 0] = rng.integers(0, 4096, batch_records)
+            raw[:, 4] = rng.integers(0, 1 << 16, batch_records)
+            if is_sorted:
+                raw = raw[np.argsort(raw[:, 0], kind="stable")]
+            hosts.append(raw)
+        placed = [shard_batch(h, mesh) for h in hosts]
+        jax.block_until_ready([p[0] for p in placed])
+
+        def fresh():
+            return DeviceHistogram(
+                mesh=mesh, capacity=1 << 16,
+                max_uniques_per_shard=1 << 14,
+                merge_every=4, assume_sorted=is_sorted,
+            )
+
+        h = fresh()  # compile + warm both stages
+        h.update_placed(*placed[0], bc16=True)
+        h.finalize()
+
+        def run(k):
+            hist = fresh()
+            t0 = time.perf_counter()
+            for i in range(k):
+                hist.update_placed(*placed[i % buffers], bc16=True)
+            jax.block_until_ready(hist._state["cnt"])
+            return time.perf_counter() - t0
+
+        # k multiples of merge_every so both points amortize the same
+        # merges per batch and the slope isolates the per-batch cost
+        k_lo, k_hi = 4, 12
+        t_lo = min(run(k_lo) for _ in range(3))
+        t_hi = min(run(k_hi) for _ in range(3))
+        per = max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+        key = "sorted" if is_sorted else "unsorted"
+        out[key + "_mrec_s"] = round(batch_records / per / 1e6, 1)
+        log(f"histogram[{key}]: {per*1e3:.2f} ms/batch = "
+            f"{out[key + '_mrec_s']} Mrec/s device-side")
+    return out
+
+
+def bench_mesh_sort(total_records: int = 1 << 20) -> dict:
+    """Steady-state mesh sample-sort throughput over all local devices
+    (VERDICT r4 #5): the jitted shard_map program timed on resident data
+    — local sorts + splitter all_gather + all_to_all exchange + merge,
+    no file I/O or host transfer in the loop. S=1 on a single chip
+    (degenerates to the device sort); S=8 on the CPU test mesh exercises
+    the exchange.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ibu_tpu.constructs.record import make_records
+    from ibu_tpu.parallel.device import AXIS, make_mesh
+    from ibu_tpu.parallel.sort import (
+        _build_sort_program,
+        _cdiv,
+        _deal_to_shards,
+    )
+
+    mesh = make_mesh()
+    s = mesh.devices.size
+    rng = np.random.default_rng(29)
+    records = make_records(
+        rng.integers(0, 1 << 32, total_records).astype(np.uint64),
+        rng.integers(0, 1 << 24, total_records).astype(np.uint64),
+        np.arange(total_records, dtype=np.uint64),
+    )
+    dev_raw, dev_valid, local_n = _deal_to_shards(records, mesh)
+    c_send = min(max(64, int(_cdiv(local_n, s) * 2.0)), local_n)
+    mesh_key = (mesh.axis_names, tuple(d.id for d in mesh.devices.flat))
+    program = _build_sort_program(
+        mesh, mesh_key, local_n, c_send, 256, (False, False, False)
+    )
+
+    @jax.jit
+    def perturb(raw, salt):
+        # distinct input per call: the tunnel backend memoizes repeated
+        # identical executions; touching one idx-lo word changes nothing
+        # structural but defeats the cache
+        return raw.at[0, 4].set(raw[0, 4] + salt)
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(program(dev_raw, dev_valid))
+    compile_s = time.perf_counter() - t0
+    log(f"mesh sort first call (compile+run): {compile_s:.1f}s")
+
+    def run(k, base):
+        raw = dev_raw
+        t0 = time.perf_counter()
+        for i in range(k):
+            raw = perturb(raw, jnp.uint32(base + i))
+            out_raw, out_valid, ovf = program(raw, dev_valid)
+        jax.block_until_ready(out_raw)
+        return time.perf_counter() - t0
+
+    run(2, 1000)  # warm the perturb jit
+    k_lo, k_hi = 2, 6
+    t_lo = min(run(k_lo, 100 * r) for r in range(3))
+    t_hi = min(run(k_hi, 7000 + 100 * r) for r in range(3))
+    per = max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+    return {
+        "records": total_records,
+        "shards": s,
+        "per_sort_ms": round(per * 1e3, 2),
+        "mrec_s": round(total_records / per / 1e6, 1),
+    }
+
+
+def bench_molecule_counts(batch_records: int = 1 << 20) -> dict:
+    """Device-resident molecule_counts (UMI dedup kernel) slope
+    (methodology of tools/molcount_capacity_lab.py) — the dedup/count
+    engines' hot kernel, tracked per round.
+    """
+    from ibu_tpu.constructs.record import make_records
+    from ibu_tpu.ops.stats import molecule_counts
+    from ibu_tpu.ops.u64 import soa_from_records
+
+    rng = np.random.default_rng(23)
+    recs = make_records(
+        rng.integers(0, 2048, batch_records).astype(np.uint64),
+        rng.integers(0, 1 << 16, batch_records).astype(np.uint64),
+        rng.integers(0, 64, batch_records).astype(np.uint64),
+    )
+    soa = jax.device_put(jnp.asarray(soa_from_records(recs)))
+    jax.block_until_ready(soa)
+
+    def looped(k):
+        @jax.jit
+        def run(s):
+            def body(_, carry):
+                s, acc = carry
+                u_bc, u_umi, counts, n = molecule_counts(
+                    s, max_uniques=1 << 13, bc_len=16, umi_len=16
+                )
+                tag = jnp.ravel(n)[0].astype(jnp.uint32)
+                s = s.at[2, :1].add(tag & 1)
+                return s, acc + tag
+
+            s2, acc = jax.lax.fori_loop(0, k, body, (s, jnp.uint32(0)))
+            return acc, s2[0, 0]
+
+        return run
+
+    k_lo, k_hi = 2, 6
+    fns = {k: looped(k) for k in (k_lo, k_hi)}
+    for fn in fns.values():
+        jax.block_until_ready(fn(soa))
+    best = {}
+    for k, fn in fns.items():
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(soa))
+            ts.append(time.perf_counter() - t0)
+        best[k] = min(ts)
+    per = max((best[k_hi] - best[k_lo]) / (k_hi - k_lo), 1e-9)
+    return {
+        "batch_records": batch_records,
+        "per_batch_ms": round(per * 1e3, 2),
+        "mrec_s": round(batch_records / per / 1e6, 1),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--records", type=int, default=1 << 24)
@@ -319,6 +497,10 @@ def main() -> None:
     ap.add_argument("--stream-records", type=int, default=None,
                     help="records for the end-to-end stream_file_stats leg "
                          "(default: --records; 0 disables)")
+    ap.add_argument("--engine-legs", type=int, default=1 << 20,
+                    help="batch records for the per-engine device legs "
+                         "(histogram / mesh-sort / molecule-count; "
+                         "0 disables)")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace into DIR")
     ap.add_argument("--no-validate", action="store_true",
@@ -408,6 +590,23 @@ def main() -> None:
         payload["stream"] = stream
     if stream_device is not None:
         payload["stream_device"] = stream_device
+
+    # per-engine device legs (VERDICT r4 #4/#5): regressions in the
+    # histogram / mesh-sort / molecule-count engines must be visible in
+    # BENCH_r*.json, not just codec ones. Each leg is independent; a
+    # failure is reported in its slot without killing the headline.
+    if args.engine_legs:
+        for name, fn in (
+            ("histogram", bench_histogram_device),
+            ("mesh_sort", bench_mesh_sort),
+            ("molecule_counts", bench_molecule_counts),
+        ):
+            try:
+                payload[name] = fn(args.engine_legs)
+                log(f"{name} leg: {json.dumps(payload[name])}")
+            except Exception as e:  # noqa: BLE001 — leg-isolated
+                payload[name] = {"error": f"{type(e).__name__}: {e}"}
+                log(f"{name} leg FAILED: {e}")
     print(json.dumps(payload))
 
 

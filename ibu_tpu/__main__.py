@@ -284,16 +284,17 @@ def cmd_histogram(args) -> int:
     else:
         if kind is None:
             reader = MmapReader(args.path)
-            bc_len = reader.header().bc_len
+            hdr = reader.header()
             batches = record_batches_from_mmap(reader)
             n_records = reader.len()
         else:  # gzip/zstd: stream decoded batches into the same engines
             from ibu_tpu import Reader
 
             r = Reader.from_path(args.path)
-            bc_len = r.header().bc_len
+            hdr = r.header()
             batches = r.batches()
             n_records = -1  # unknown without a full pass
+        bc_len = hdr.bc_len
         engine = args.engine
         if engine == "host" and args.device_table:
             print("--device-table is a device-engine option; drop it or "
@@ -319,14 +320,19 @@ def cmd_histogram(args) -> int:
         elif args.device_table:
             from ibu_tpu.parallel.device import DeviceHistogram
 
+            # sorted inputs (header-claimed, kernel-verified) skip the
+            # per-batch device sort: batches are contiguous stream slices,
+            # so groups are adjacent within every shard block
             hist = DeviceHistogram(
                 capacity=args.device_table,
                 max_uniques_per_shard=args.max_uniques,
+                assume_sorted=hdr.sorted(),
             ).run(batches)
         else:
             hist = sharded_barcode_histogram(
                 batches,
                 max_uniques_per_shard=args.max_uniques,
+                sorted_in=hdr.sorted(),
             )
     # ties break by ascending barcode so the listing is deterministic
     # across engines (auto may pick different ones for plain vs compressed)

@@ -547,16 +547,103 @@ def _masked_histogram(raw, n_valid, max_uniques: int, bc16: bool = False):
     return unique_lo, unique_hi, counts, n_distinct[None]
 
 
+#: bit 30 of the per-shard ``n_seen`` lane carries the sorted-fast-path
+#: order-violation verdict (int32 stays positive, so the max-combining
+#: ``shard_seen`` state propagates it; decoded in
+#: :meth:`DeviceHistogram.finalize` / :func:`sharded_barcode_histogram`)
+_ORDER_BAD_BIT = 1 << 30
+
+
+def _masked_histogram_sorted(raw, n_valid, max_uniques: int,
+                             bc16: bool = False):
+    """Per-shard histogram for SORTED batches — no sort at all.
+
+    On a sorted file (the common case after ``sort``/``dedup``/ingest),
+    equal barcodes are adjacent within every shard's block, so the
+    record-sized ``lax.sort`` — the dominant cost of
+    :func:`_masked_histogram`, ~6 ms/1M records of the measured
+    23 ms/batch (tools/histogram_capacity_lab.py) — is unnecessary:
+    segment ids come from ONE adjacent-diff and the per-slot bounds from
+    the same ``searchsorted`` binary searches.
+
+    Trust is verified, not assumed: the kernel also computes whether the
+    valid prefix really is nondecreasing by barcode and returns the
+    verdict in bit 30 of the ``n_seen`` lane (:data:`_ORDER_BAD_BIT`) —
+    a lying sorted flag raises at finalize instead of producing silently
+    split groups. The check is per-shard, which is exactly the
+    correctness-relevant scope: cross-shard (and cross-batch) merging is
+    BY KEY, so a decrease at a shard/batch boundary cannot corrupt
+    counts — only within-shard disorder can, and that is what the kernel
+    flags. Padding rows beyond ``n_valid`` never count: bounds clip to
+    the valid prefix exactly as in :func:`_masked_histogram`.
+
+    ``bc16=True`` (caller-verified: all barcodes < 2^32) drops the hi
+    word from both the adjacency and the order check.
+    """
+    soa = raw.T
+    bc_lo, bc_hi = soa[0], soa[1]
+    n = bc_lo.shape[0]
+    total_valid = n_valid.astype(jnp.int32)
+    valid_tail = jnp.arange(1, n, dtype=jnp.int32) < total_valid
+    if bc16:
+        neq = bc_lo[1:] != bc_lo[:-1]
+        dec = bc_lo[1:] < bc_lo[:-1]
+    else:
+        hi_neq = bc_hi[1:] != bc_hi[:-1]
+        neq = hi_neq | (bc_lo[1:] != bc_lo[:-1])
+        dec = (bc_hi[1:] < bc_hi[:-1]) | (
+            ~hi_neq & (bc_lo[1:] < bc_lo[:-1])
+        )
+    bad = jnp.any(dec & valid_tail)
+    first = jnp.concatenate([jnp.ones((1,), dtype=jnp.bool_), neq])
+    seg_ids = jnp.cumsum(first.astype(jnp.int32)) - 1  # monotonic
+    slots = jnp.arange(max_uniques, dtype=jnp.int32)
+    starts = jnp.searchsorted(seg_ids, slots, side="left")
+    ends = jnp.searchsorted(seg_ids, slots, side="right")
+    s = jnp.minimum(starts.astype(jnp.int32), total_valid)
+    e = jnp.minimum(ends.astype(jnp.int32), total_valid)
+    counts = (e - s).astype(jnp.uint32)
+    at = jnp.minimum(starts, n - 1)
+    unique_lo = jnp.where(counts > 0, bc_lo[at], 0)
+    unique_hi = jnp.where(counts > 0, bc_hi[at], 0)
+    n_distinct = jnp.where(
+        total_valid > 0,
+        seg_ids[jnp.maximum(total_valid - 1, 0)] + 1,
+        jnp.int32(0),
+    )
+    n_out = n_distinct + jnp.where(bad, jnp.int32(_ORDER_BAD_BIT),
+                                   jnp.int32(0))
+    return unique_lo, unique_hi, counts, n_out[None]
+
+
+def _decode_seen(seen: int, context: str) -> int:
+    """Split the max-combined ``n_seen`` lane into (order verdict raised,
+    true per-shard unique count)."""
+    if seen & _ORDER_BAD_BIT:
+        raise ValueError(
+            f"{context}: the sorted-input fast path saw barcodes out of "
+            "nondecreasing order — the file's sorted flag is wrong; "
+            "re-sort the file or rerun without assuming sorted input"
+        )
+    return seen
+
+
 def sharded_barcode_histogram(
     batches: Iterator[np.ndarray],
     mesh: Mesh | None = None,
     max_uniques_per_shard: int = 1 << 16,
+    sorted_in: bool = False,
 ) -> dict[int, int]:
     """Barcode → count over sharded batches; host dict merge across shards.
 
     Each shard histograms its local block on device; the sparse per-shard
     results merge in a host dict (barcode spaces are data-dependent, so the
     cross-shard union stays host-side by design).
+
+    ``sorted_in=True`` (input known sorted, e.g. a verified header flag)
+    skips the per-batch device sort entirely — groups are adjacent
+    (:func:`_masked_histogram_sorted`); order is still verified in-kernel
+    and a lying flag raises instead of producing wrong counts.
 
     Raises ``ValueError`` if any shard sees more than
     ``max_uniques_per_shard`` distinct barcodes in one batch (counts would
@@ -576,13 +663,14 @@ def sharded_barcode_histogram(
         bc16 = bc16_hint(as_raw_u32(batch))
         if bc16 not in hist_fns:
             hist_fns[bc16] = _shard_hist_fn(
-                mesh, mesh_key, max_uniques_per_shard, bc16
+                mesh, mesh_key, max_uniques_per_shard, bc16, sorted_in
             )
         dev_soa, dev_valid = shard_batch(batch, mesh)
         u_lo, u_hi, counts, n_seen = jax.tree.map(
             np.asarray, hist_fns[bc16](dev_soa, dev_valid)
         )
-        if int(n_seen.max()) > max_uniques_per_shard:
+        if _decode_seen(int(n_seen.max()),
+                        "sharded_barcode_histogram") > max_uniques_per_shard:
             raise ValueError(
                 f"a shard saw {int(n_seen.max())} unique barcodes, over the "
                 f"max_uniques_per_shard={max_uniques_per_shard} capacity; "
@@ -717,17 +805,18 @@ def _histogram_fns(mesh, mesh_key, capacity, max_uniques_per_shard,
     return stage_write, merge
 
 
-def _shard_hist_fn(mesh, mesh_key, max_uniques_per_shard, bc16: bool):
+def _shard_hist_fn(mesh, mesh_key, max_uniques_per_shard, bc16: bool,
+                   sorted_in: bool = False):
     """Build (or fetch cached) the per-shard histogram jit — keyed
-    separately from the stage/merge pair so the hinted (``bc16``) and
-    full variants don't duplicate those compiles."""
-    key = ("shard", mesh_key, max_uniques_per_shard, bc16)
+    separately from the stage/merge pair so the hinted (``bc16``) /
+    sorted-fast-path variants don't duplicate those compiles."""
+    key = ("shard", mesh_key, max_uniques_per_shard, bc16, sorted_in)
     if key in _HIST_FN_CACHE:
         return _HIST_FN_CACHE[key]
     fn = jax.jit(
         shard_map(
             functools.partial(
-                _masked_histogram,
+                _masked_histogram_sorted if sorted_in else _masked_histogram,
                 max_uniques=max_uniques_per_shard,
                 bc16=bc16,
             ),
@@ -788,6 +877,7 @@ class DeviceHistogram:
         placer=default_placer,
         merge_every: int = 8,
         spill: bool = True,
+        assume_sorted: bool = False,
     ):
         if merge_every < 1:
             raise ValueError(f"merge_every must be >= 1, got {merge_every}")
@@ -796,6 +886,10 @@ class DeviceHistogram:
         self.max_uniques_per_shard = max_uniques_per_shard
         self.merge_every = merge_every
         self.spill = spill
+        #: input claimed sorted (e.g. a verified header flag): the per-
+        #: shard stage skips its record sort — groups are adjacent — and
+        #: instead VERIFIES order in-kernel; a lie raises at finalize
+        self.assume_sorted = assume_sorted
         self._placer = placer
         self._filled = 0  # staged batches since the last merge
         self._spilled: dict[int, int] = {}  # host-absorbed overflow
@@ -848,9 +942,13 @@ class DeviceHistogram:
         programs are hint-independent, so every process launches the same
         collective sequence regardless of its local hints (exercised by
         ``tests/test_multiprocess.py``'s divergent-hint cluster leg).
+        ``assume_sorted`` is likewise safe: it is a constructor property
+        (cohort-uniform — every process reads the same header flag) and
+        selects only the collective-free per-shard program.
         """
         u_lo, u_hi, counts, n_seen = _shard_hist_fn(
-            self.mesh, self._mesh_key, self.max_uniques_per_shard, bc16
+            self.mesh, self._mesh_key, self.max_uniques_per_shard, bc16,
+            self.assume_sorted,
         )(dev_raw, dev_valid)
         self._state = self._stage_write(
             self._state, u_lo, u_hi, counts, n_seen,
@@ -910,7 +1008,8 @@ class DeviceHistogram:
             k: _to_host(self._state[k])
             for k in ("lo", "hi", "cnt", "n", "shard_seen")
         }
-        if int(st["shard_seen"]) > self.max_uniques_per_shard:
+        if _decode_seen(int(st["shard_seen"]),
+                        "DeviceHistogram") > self.max_uniques_per_shard:
             raise ValueError(
                 f"a shard saw {int(st['shard_seen'])} unique barcodes, over "
                 f"the max_uniques_per_shard={self.max_uniques_per_shard} "
@@ -949,21 +1048,30 @@ def stream_file_histogram(
     capacity: int = 1 << 20,
     max_uniques_per_shard: int = 1 << 16,
     spill: bool = True,
+    assume_sorted: bool | None = None,
 ) -> dict[int, int]:
     """Per-barcode counts of a whole file, streamed over the mesh with
     prefetch — the histogram sibling of :func:`stream_file_stats`. The
     running table stays on device (:class:`DeviceHistogram`), so the only
     host work in the loop is feeding zero-copy mmap views. Barcode spaces
     larger than ``capacity`` spill exactly to the host (``spill``).
+
+    ``assume_sorted=None`` (default) trusts the header's sorted flag —
+    sorted files (the common case after ``sort``/``dedup``/ingest) skip
+    the per-batch device sort entirely; order is verified in-kernel and a
+    lying flag raises rather than mis-counting.
     """
     from ibu_tpu.io.stream import stream_file
 
+    if assume_sorted is None:
+        assume_sorted = reader.header().sorted()
     mesh = mesh or make_mesh()
     hist = DeviceHistogram(
         mesh=mesh,
         capacity=capacity,
         max_uniques_per_shard=max_uniques_per_shard,
         spill=spill,
+        assume_sorted=assume_sorted,
     )
     for dev_raw, dev_valid, bc16 in stream_file(
         reader, mesh=mesh, batch_records=batch_records, with_hint=True

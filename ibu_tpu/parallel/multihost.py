@@ -285,10 +285,16 @@ def multihost_barcode_histogram(
     table transfers once per host. Barcode spaces larger than
     ``capacity`` spill exactly to the host (``spill``; the spill drain is
     replicated, so every process converges on the same dict).
+
+    Sorted files take the no-sort per-shard fast path: every device's
+    block is a contiguous slice of the file, so groups are adjacent
+    within it. The flag is read from the same header bytes on every
+    process (cohort-uniform program selection) and verified in-kernel.
     """
     from ibu_tpu.parallel.device import DeviceHistogram
 
     reader = MmapReader(path)
+    assume_sorted = reader.header().sorted()
 
     if jax.process_count() == 1:
         hist = DeviceHistogram(
@@ -296,6 +302,7 @@ def multihost_barcode_histogram(
             capacity=capacity,
             max_uniques_per_shard=max_uniques_per_shard,
             spill=spill,
+            assume_sorted=assume_sorted,
         )
         return hist.run(local_record_batches(reader, batch_records))
 
@@ -306,6 +313,7 @@ def multihost_barcode_histogram(
         max_uniques_per_shard=max_uniques_per_shard,
         placer=process_local_placer,
         spill=spill,
+        assume_sorted=assume_sorted,
     )
     for g_raw, g_valid, bc16 in multihost_placed_batches(
         reader, mesh, batch_records, with_hint=True

@@ -1175,6 +1175,7 @@ def barcode_counts(
         hist = sharded_barcode_histogram(
             record_batches_from_mmap(reader, batch_records),
             max_uniques_per_shard=max_uniques_per_shard,
+            sorted_in=reader.header().sorted(),
         )
         barcodes = np.fromiter(hist.keys(), dtype=np.uint64, count=len(hist))
         counts = np.fromiter(hist.values(), dtype=np.int64, count=len(hist))

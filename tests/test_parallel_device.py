@@ -488,3 +488,152 @@ class TestMultihostMapReduce:
             max_uniques_per_shard=1024,
         )
         assert got == barcode_histogram_np(records)
+
+
+class TestSortedFastPath:
+    """Sorted-input histogram fast path (no per-shard sort; in-kernel
+    order verification — VERDICT r4 #4)."""
+
+    @staticmethod
+    def _sorted_records(n, seed, bc_space):
+        from ibu_tpu.constructs.record import sort_records
+
+        return sort_records(random_records(n, seed=seed, bc_space=bc_space))
+
+    def test_device_histogram_sorted_matches_oracle(self):
+        from ibu_tpu.parallel.device import DeviceHistogram
+
+        records = self._sorted_records(10_000, 31, 300)
+        h = DeviceHistogram(
+            capacity=1024, max_uniques_per_shard=512, assume_sorted=True
+        )
+        got = h.run(iter([records[:4000], records[4000:9001], records[9001:]]))
+        assert got == barcode_histogram_np(records)
+
+    def test_sorted_u64_barcodes_cross_word(self):
+        """Barcodes spanning the hi word exercise the 2-word adjacency
+        and order checks."""
+        from ibu_tpu.parallel.device import DeviceHistogram
+
+        records = self._sorted_records(5_000, 32, None)  # full u64 space
+        h = DeviceHistogram(
+            capacity=8192, max_uniques_per_shard=4096, assume_sorted=True
+        )
+        assert h.run(iter([records])) == barcode_histogram_np(records)
+
+    def test_group_spanning_batch_and_shard_boundaries(self):
+        from ibu_tpu.parallel.device import DeviceHistogram
+
+        records = make_records(
+            np.repeat(np.arange(5, dtype=np.uint64), 700),
+            np.zeros(3500, dtype=np.uint64),
+            np.arange(3500, dtype=np.uint64),
+        )
+        h = DeviceHistogram(
+            capacity=64, max_uniques_per_shard=32, assume_sorted=True
+        )
+        got = h.run(iter([records[:1500], records[1500:]]))
+        assert got == {i: 700 for i in range(5)}
+
+    def test_lying_sorted_flag_raises(self):
+        """Disorder WITHIN a shard's block (the correctness-relevant
+        scope — cross-shard merging is by key) must raise at finalize."""
+        from ibu_tpu.parallel.device import DeviceHistogram
+
+        bc = np.arange(64, dtype=np.uint64)
+        bc[10], bc[11] = bc[11], bc[10]  # one within-shard decrease
+        records = make_records(
+            bc, np.zeros(64, dtype=np.uint64), np.arange(64, dtype=np.uint64)
+        )
+        h = DeviceHistogram(
+            capacity=128, max_uniques_per_shard=64, assume_sorted=True
+        )
+        h.update(records)
+        with pytest.raises(ValueError, match="sorted"):
+            h.finalize()
+
+    def test_lying_flag_in_hi_word_only(self):
+        """A decrease visible only in the hi word must be caught."""
+        from ibu_tpu.parallel.device import DeviceHistogram
+
+        bc = (np.arange(64, dtype=np.uint64) << np.uint64(32)) | np.uint64(7)
+        bc[20], bc[21] = bc[21], bc[20]  # hi-word-only within-shard swap
+        records = make_records(
+            bc, np.zeros(64, dtype=np.uint64), np.arange(64, dtype=np.uint64)
+        )
+        h = DeviceHistogram(
+            capacity=128, max_uniques_per_shard=64, assume_sorted=True
+        )
+        h.update(records)
+        with pytest.raises(ValueError, match="sorted"):
+            h.finalize()
+
+    def test_shard_boundary_decrease_is_harmless_and_exact(self):
+        """A decrease exactly at a shard boundary cannot corrupt counts
+        (merge is by key) and must NOT raise."""
+        from ibu_tpu.parallel.device import DeviceHistogram
+
+        # 8 shards x 2 rows: sorted within every pair, decreasing across
+        bc = np.array(
+            [100, 100, 90, 90, 80, 80, 70, 70, 60, 60, 50, 50, 40, 40,
+             30, 30],
+            dtype=np.uint64,
+        )
+        records = make_records(
+            bc, np.zeros(16, dtype=np.uint64), np.arange(16, dtype=np.uint64)
+        )
+        h = DeviceHistogram(
+            capacity=64, max_uniques_per_shard=32, assume_sorted=True
+        )
+        assert h.run(iter([records])) == barcode_histogram_np(records)
+
+    def test_sharded_histogram_sorted_in(self):
+        records = self._sorted_records(8_000, 33, 150)
+        got = sharded_barcode_histogram(
+            iter([records[:3000], records[3000:]]),
+            max_uniques_per_shard=512,
+            sorted_in=True,
+        )
+        assert got == barcode_histogram_np(records)
+
+    def test_stream_file_histogram_auto_fast_path(self, tmp_ibu_file):
+        """A header-sorted file takes the fast path automatically and
+        stays exact."""
+        from ibu_tpu.constructs.header import Header
+        from ibu_tpu.parallel.device import stream_file_histogram
+
+        records = self._sorted_records(20_000, 34, 250)
+        hdr = Header.new(16, 12)
+        hdr.set_sorted()
+        path = tmp_ibu_file(records, header=hdr)
+        reader = MmapReader(path)
+        assert reader.header().sorted()
+        got = stream_file_histogram(
+            reader, batch_records=4096, capacity=2048,
+            max_uniques_per_shard=1024,
+        )
+        assert got == barcode_histogram_np(records)
+
+    def test_stream_file_histogram_lying_flag_raises(self, tmp_ibu_file):
+        from ibu_tpu.constructs.header import Header
+        from ibu_tpu.parallel.device import stream_file_histogram
+
+        records = random_records(5_000, seed=35, bc_space=100)  # unsorted
+        hdr = Header.new(16, 12)
+        hdr.set_sorted()  # lie
+        path = tmp_ibu_file(records, header=hdr)
+        with pytest.raises(ValueError, match="sorted"):
+            stream_file_histogram(MmapReader(path), batch_records=1024)
+
+    def test_sorted_with_spill(self):
+        """Fast path composes with the exact overflow spill."""
+        from ibu_tpu.parallel.device import DeviceHistogram
+
+        records = self._sorted_records(6_000, 36, 3_000)
+        h = DeviceHistogram(
+            capacity=256, max_uniques_per_shard=2048, merge_every=2,
+            spill=True, assume_sorted=True,
+        )
+        got = h.run(iter([records[:2500], records[2500:5000],
+                          records[5000:]]))
+        assert got == barcode_histogram_np(records)

@@ -49,6 +49,10 @@ def main() -> None:
     ap.add_argument("--spill", choices=("on", "off"), default="on",
                     help="A/B the overflow-lane merge (round 4) vs the "
                          "strict merge")
+    ap.add_argument("--sorted", action="store_true",
+                    help="A/B the sorted-input fast path (round 5): "
+                         "buffers sorted by barcode, assume_sorted=True "
+                         "(per-shard adjacent-diff instead of the sort)")
     args = ap.parse_args()
 
     import jax
@@ -73,6 +77,8 @@ def main() -> None:
         raw[:, 0] = rng.integers(0, args.barcodes, b)  # bc_lo
         raw[:, 2] = rng.integers(0, 1 << 16, b)  # umi_lo
         raw[:, 4] = rng.integers(0, 1 << 16, b)  # idx_lo
+        if args.sorted:
+            raw = raw[np.argsort(raw[:, 0], kind="stable")]
         hosts.append(raw)
     placed = [shard_batch(h, mesh) for h in hosts]
     jax.block_until_ready([p[0] for p in placed])
@@ -83,6 +89,7 @@ def main() -> None:
             max_uniques_per_shard=args.max_uniques,
             merge_every=args.merge_every,
             spill=args.spill == "on",
+            assume_sorted=args.sorted,
         )
 
     # compile + warm both stages
@@ -122,6 +129,7 @@ def main() -> None:
     log(f"  slope: {per_iter*1e3:.2f} ms/batch = {gbps:.2f} GB/s device-side")
     print(json.dumps({
         "bc16": bool(args.bc16),
+        "sorted": bool(args.sorted),
         "batch_records": b,
         "MB": round(nbytes / 1e6, 1),
         "barcodes": args.barcodes,

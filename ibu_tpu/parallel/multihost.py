@@ -938,6 +938,10 @@ def multihost_correct_file(
     }
 
 
+#: barcode samples contributed per rank to the splitter election
+_COUNT_SPLIT_SAMPLES = 512
+
+
 def multihost_count_matrix(
     in_path: str,
     out_prefix: str,
@@ -945,27 +949,44 @@ def multihost_count_matrix(
     dedup: bool = True,
 ) -> dict:
     """Pod-scale barcode × index count matrix:
-    :func:`ibu_tpu.pipelines.count_matrix` (host engine) with the heavy
-    per-batch uniquing sharded across hosts.
+    :func:`ibu_tpu.pipelines.count_matrix` (host engine) with BOTH heavy
+    stages — the per-batch uniquing AND the global merge/format/write —
+    sharded across hosts. No stage is O(answer) on a single rank.
 
-    Every process streams only its record range into a range-partial
-    table (:func:`ibu_tpu.pipelines._count_range_partial` — sorted inputs
-    keep the O(n) adjacent-diff with a boundary carry from the shared
-    mmap, so concatenating the ranges' triples is already globally
-    unique). Partials exchange through ``{out_prefix}.mh_count.partN.npz``
-    on the shared filesystem (their size is O(answer), not O(records));
-    process 0 alone pays the merge and writes the MatrixMarket trio, and
-    the 5-int stats ride the completion allgather back to every rank.
-    EVERY local failure (order verification, shared-FS I/O, the .mtx
-    write) is routed through a checkpoint allgather so the whole cohort
-    fails together instead of the healthy ranks deadlocking at the next
-    collective.
+    1. **range partial**: every process streams only its record range
+       (:func:`ibu_tpu.pipelines._count_range_partial`; sorted inputs
+       keep the O(n) adjacent-diff with a boundary carry).
+    2. **splitters**: each rank allgathers evenly-spaced samples of its
+       partial's (nondecreasing) barcode column; rank *d* owns barcode
+       range ``[sp[d-1], sp[d])`` — a barcode belongs wholly to one rank.
+    3. **exchange** via ``{out_prefix}.mh_count.partN.npz`` on the shared
+       filesystem: the partial is nondecreasing in barcode, so each
+       destination's rows are ONE contiguous slice (``searchsorted``);
+       the file also carries the rank's sorted unique-index array.
+    4. **range merge**: rank *d* merges only its barcode range
+       (:func:`_count_pairs_from_partials` on its slices — cross-range
+       duplicates of a triple land at the same destination, so the
+       semantics match the old rank-0 merge exactly); the GLOBAL unique
+       index array is the union of every rank's index member, computed
+       identically on all ranks.
+    5. **cooperative output**: entries are globally row-major by
+       construction (disjoint barcode ranges in rank order; each block
+       internally (row, col)-sorted), so each rank formats its own
+       ``.mtx`` entry block, ``barcodes.txt`` block (fixed ``bc_len+1``
+       bytes/line), and ``indices.txt`` slice, and pwrites them at exact
+       byte offsets from one allgather of block sizes. The trio is
+       byte-identical to the single-host tool (cluster-tested).
+
+    EVERY local failure travels through a checkpoint allgather (cohort
+    rule) so all ranks fail together; a failed cooperative write unlinks
+    all three outputs on every rank (guarded).
     """
+    from ibu_tpu.ops import codec as C
     from ibu_tpu.pipelines import (
         _count_pairs_from_partials,
         _count_range_partial,
+        _format_mtx_entries,
         _require_plain,
-        _write_count_outputs,
         count_matrix,
     )
 
@@ -975,6 +996,8 @@ def multihost_count_matrix(
             engine="host",
         )
 
+    from jax.experimental import multihost_utils
+
     _require_plain(in_path, "count_matrix")
     reader = MmapReader(in_path)
     header = reader.header()
@@ -982,57 +1005,168 @@ def multihost_count_matrix(
     start, end = local_record_range(n)
     pid = jax.process_index()
     nprocs = jax.process_count()
+    u64max = np.uint64(0xFFFFFFFFFFFFFFFF)
 
-    # EVERY error below (order verification, shared-FS I/O, the .mtx
-    # write) travels through a _cohort_checkpoint so all ranks fail
-    # together instead of the healthy ones deadlocking at the next
-    # collective.
     failed: BaseException | None = None
-
     part_path = f"{out_prefix}.mh_count.part{pid}.npz"
+    out_paths = (f"{out_prefix}.mtx", f"{out_prefix}.barcodes.txt",
+                 f"{out_prefix}.indices.txt")
     try:
+        # -- stage 1: range partial (kept in memory for the later slice) --
+        keys = weights = None
         try:
             keys, weights = _count_range_partial(
                 reader, start, end, dedup, batch_records, in_path,
                 boundary_carry=True,
             )
-            payload = {"keys": keys}
-            if weights is not None:
-                payload["counts"] = weights
-            np.savez(part_path, **payload)
         except BaseException as e:
             failed = e
         _cohort_checkpoint(failed, "the range-partial pass")
 
-        # process 0 alone pays the shared-FS reads + global merge + write;
-        # the 5-int stats ride the completion checkpoint to every rank
-        stat_keys = ("barcodes", "indices", "entries", "molecules",
-                     "records")
-        stats = dict.fromkeys(stat_keys, 0)
-        if pid == 0:
-            try:
-                key_parts, weight_parts = [], []
-                for r in range(nprocs):
-                    with np.load(
-                        f"{out_prefix}.mh_count.part{r}.npz"
-                    ) as z:
-                        key_parts.append(z["keys"])
-                        if "counts" in z:
-                            weight_parts.append(z["counts"])
-                uniq_pairs, counts = _count_pairs_from_partials(
-                    key_parts, weight_parts, dedup=dedup,
-                    presorted=dedup and header.sorted(),  # carried
-                )
-                stats = _write_count_outputs(
-                    out_prefix, in_path, dedup, header.bc_len,
-                    uniq_pairs["barcode"], uniq_pairs["index"], counts, n,
-                )
-            except BaseException as e:
-                failed = e
-        gathered = _cohort_checkpoint(
-            failed, "the merge/write", (stats[k] for k in stat_keys)
+        # -- stage 2: splitter election (pure collectives; cannot fail
+        # locally) -- every rank samples its nondecreasing barcode column
+        s_n = _COUNT_SPLIT_SAMPLES
+        bc_col = keys["barcode"]
+        if len(bc_col):
+            pos = ((np.arange(s_n) + 0.5) * len(bc_col) / s_n).astype(int)
+            samples = bc_col[np.minimum(pos, len(bc_col) - 1)]
+        else:
+            samples = np.full(s_n, u64max, dtype=np.uint64)
+        gathered = np.sort(  # allgather output is a read-only view
+            multihost_utils.process_allgather(
+                samples[None, :].astype(np.uint64)
+            ).reshape(nprocs * s_n)
         )
-        return dict(zip(stat_keys, (int(v) for v in gathered[0])))
+        sp_at = (np.arange(1, nprocs) * len(gathered)) // nprocs
+        splitters = gathered[sp_at]  # (nprocs-1,) — rank d owns
+        # barcodes b with (# splitters <= b) == d
+
+        # -- stage 3: exchange write (per-destination contiguous slices) --
+        try:
+            cuts = np.concatenate(
+                [[0], np.searchsorted(bc_col, splitters, side="right"),
+                 [len(keys)]]
+            )
+            payload = {"idx": np.unique(keys["index"])}
+            for d in range(nprocs):
+                payload[f"k{d}"] = keys[cuts[d]:cuts[d + 1]]
+                if weights is not None:
+                    payload[f"w{d}"] = weights[cuts[d]:cuts[d + 1]]
+            np.savez(part_path, **payload)
+        except BaseException as e:
+            failed = e
+        _cohort_checkpoint(failed, "the exchange write")
+
+        # -- stage 4: merge MY barcode range + the (identical) index union --
+        pairs = counts = indices = bc_u = None
+        try:
+            key_parts, weight_parts, idx_parts = [], [], []
+            for r in range(nprocs):
+                with np.load(f"{out_prefix}.mh_count.part{r}.npz") as z:
+                    key_parts.append(z[f"k{pid}"])
+                    if f"w{pid}" in z:
+                        weight_parts.append(z[f"w{pid}"])
+                    idx_parts.append(z["idx"])
+            indices = np.unique(np.concatenate(idx_parts))
+            pairs, counts = _count_pairs_from_partials(
+                key_parts, weight_parts, dedup=dedup,
+                presorted=dedup and header.sorted(),  # carried ranges
+            )
+            bc_u = np.unique(pairs["barcode"])
+        except BaseException as e:
+            failed = e
+        gathered = _cohort_checkpoint(
+            failed, "the range merge",
+            (0, 0, 0) if failed is not None else
+            (len(bc_u), len(pairs), int(counts.sum())),
+        )
+        r_total = int(gathered[:, 0].sum())
+        nnz = int(gathered[:, 1].sum())
+        molecules = int(gathered[:, 2].sum())
+        prefix_bc = int(gathered[:pid, 0].sum())
+
+        # -- stage 5: format my blocks; offsets from one size allgather --
+        mtx_block = bc_block = idx_block = b""
+        try:
+            if len(pairs):
+                row = prefix_bc + np.searchsorted(bc_u, pairs["barcode"])
+                col = np.searchsorted(indices, pairs["index"])
+                mtx_block = _format_mtx_entries(
+                    row + 1, col + 1, np.asarray(counts)
+                ).encode()
+            bc_block = "".join(
+                s + "\n" for s in C.decode_seqs(bc_u, header.bc_len)
+            ).encode()
+            i_lo, i_hi = partition(len(indices), nprocs)[pid]
+            idx_block = "".join(
+                f"{int(i)}\n" for i in indices[i_lo:i_hi]
+            ).encode()
+        except BaseException as e:
+            failed = e
+        gathered = _cohort_checkpoint(
+            failed, "the block formatting",
+            (len(mtx_block), len(idx_block)),
+        )
+        mtx_head = (
+            "%%MatrixMarket matrix coordinate integer general\n"
+            "%rows=barcodes cols=record-indices "
+            f"source={in_path} dedup={dedup}\n"
+            f"{r_total} {len(indices)} {nnz}\n"
+        ).encode()
+        mtx_off = len(mtx_head) + int(gathered[:pid, 0].sum())
+        mtx_size = len(mtx_head) + int(gathered[:, 0].sum())
+        bc_off = prefix_bc * (header.bc_len + 1)
+        bc_size = r_total * (header.bc_len + 1)
+        idx_off = int(gathered[:pid, 1].sum())
+        idx_size = int(gathered[:, 1].sum())
+
+        try:
+            if pid == 0:
+                with open(out_paths[0], "wb") as f:
+                    f.write(mtx_head)
+                    f.truncate(mtx_size)
+                with open(out_paths[1], "wb") as f:
+                    f.truncate(bc_size)
+                with open(out_paths[2], "wb") as f:
+                    f.truncate(idx_size)
+        except BaseException as e:
+            failed = e
+        _cohort_checkpoint(failed, "output creation")
+
+        try:
+            for path, block, off in (
+                (out_paths[0], mtx_block, mtx_off),
+                (out_paths[1], bc_block, bc_off),
+                (out_paths[2], idx_block, idx_off),
+            ):
+                if not block:
+                    continue
+                fd = os.open(path, os.O_WRONLY)
+                try:
+                    _pwrite_all(fd, block, off)
+                finally:
+                    os.close(fd)
+        except BaseException as e:
+            failed = e
+        try:
+            _cohort_checkpoint(failed, "the write pass")
+        except BaseException:
+            # a partial cooperative write must not survive as a valid-
+            # looking trio (every rank raises together; unlinks guarded)
+            for path in out_paths:
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+            raise
+
+        return {
+            "barcodes": r_total,
+            "indices": int(len(indices)),
+            "entries": nnz,
+            "molecules": molecules,
+            "records": n,
+        }
     finally:
         try:
             os.unlink(part_path)

@@ -329,3 +329,82 @@ def test_multihost_scaling_efficiency(tmp_path, capsys):
         f"2-process efficiency {best:.3f} (best of 3 attempts) below the "
         f"0.75 lower-bound guard"
     )
+
+
+COUNT_TIMED_WORKER = textwrap.dedent(
+    """
+    import os, sys, time
+    rank, nprocs, port, path, n = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4],
+        int(sys.argv[5]),
+    )
+    os.sched_setaffinity(0, {{rank % os.cpu_count()}})
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    sys.path.insert(0, {repo!r})
+    from ibu_tpu.utils import apply_platform_env
+    apply_platform_env()
+    import jax
+    if nprocs > 1:
+        jax.distributed.initialize(
+            f"127.0.0.1:{{port}}", num_processes=nprocs, process_id=rank
+        )
+    from ibu_tpu.parallel.multihost import multihost_count_matrix
+    best = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        stats = multihost_count_matrix(path, path + f".{{nprocs}}p")
+        best = min(best, time.perf_counter() - t0)
+    assert stats["entries"] == n, stats  # all-unique: answer == input
+    print(f"TIME {{best:.4f}}")
+    """
+).format(repo=REPO)
+
+
+@pytest.mark.slow
+def test_multihost_count_adversarial_scaling(tmp_path, capsys):
+    """Sharded count-matrix merge efficiency on the ADVERSARIAL input —
+    every triple unique, so answer ≈ input and the merge/format/write
+    stages dominate. The round-4 rank-0 merge measured 0.236 here; the
+    barcode-range-sharded merge (round 5) measured 0.82. Gate: >=0.5
+    (margin for shared-CI noise), plus byte-identity of the trios.
+    """
+    import filecmp
+
+    if os.cpu_count() < 2:
+        pytest.skip("needs >=2 physical cores")
+    n = 1_000_000
+    i = np.arange(n, dtype=np.uint64)
+    recs = make_records(
+        i, i * np.uint64(2654435761) % np.uint64(1 << 40), i
+    )
+    recs = np.sort(recs, order=("barcode", "umi", "index"))
+    path = str(tmp_path / "adv.ibu")
+    h = Header.new(16, 12)
+    h.set_sorted()
+    with Writer.from_path(path, h) as w:
+        w.write_batch(recs)
+    worker_py = tmp_path / "count_timed_worker.py"
+    worker_py.write_text(COUNT_TIMED_WORKER)
+
+    best = 0.0
+    for attempt in range(3):
+        t1 = _run_timed_cluster(1, str(worker_py), str(_free_port()), path, n)
+        t2 = _run_timed_cluster(2, str(worker_py), str(_free_port()), path, n)
+        eff = t1 / (2 * t2)
+        best = max(best, eff)
+        with capsys.disabled():
+            print(
+                f"\n[count adversarial attempt {attempt}] "
+                f"1-proc {t1:.3f}s | 2-proc {t2:.3f}s | efficiency {eff:.3f}",
+                flush=True,
+            )
+        if best >= 0.5:
+            break
+    for sfx in (".mtx", ".barcodes.txt", ".indices.txt"):
+        assert filecmp.cmp(path + f".1p{sfx}", path + f".2p{sfx}",
+                           shallow=False), sfx
+    assert best >= 0.5, (
+        f"adversarial count 2-process efficiency {best:.3f} below the "
+        "0.5 lower-bound guard (round-5 sharded merge measured 0.82)"
+    )

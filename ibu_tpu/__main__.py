@@ -207,23 +207,29 @@ def cmd_sort(args) -> int:
     from ibu_tpu.pipelines import _require_plain
 
     _require_plain(args.input, "sort")
-    if args.distributed and args.engine != "mesh":
-        print("--distributed requires --engine mesh (the pod-wide sample "
-              "sort); native/device sorts are single-host", file=sys.stderr)
+    if args.distributed and args.engine not in ("mesh", "pod"):
+        print("--distributed requires --engine mesh (the pod-wide device "
+              "sample sort) or --engine pod (auto: mesh on TPU, shared-FS "
+              "native external sort elsewhere); native/device sorts are "
+              "single-host", file=sys.stderr)
         return 2
-    if args.engine in ("device", "mesh"):
-        if args.chunk_records or args.threads:
+    if args.engine in ("device", "mesh", "pod"):
+        if (args.chunk_records or args.threads) and args.engine != "pod":
             print("--chunk-records/--threads only apply to --engine native "
                   "(the device sorts are in-memory)", file=sys.stderr)
             return 2
         from ibu_tpu.utils import apply_platform_env
 
         apply_platform_env()
-        if args.engine == "mesh":
+        if args.engine in ("mesh", "pod"):
             _maybe_init_distributed(args)
             from ibu_tpu.parallel.multihost import multihost_sort_file
 
-            multihost_sort_file(args.input, args.output)
+            multihost_sort_file(
+                args.input, args.output,
+                engine="mesh" if args.engine == "mesh" else "auto",
+                chunk_records=args.chunk_records,
+            )
             if not _is_rank0():
                 return 0
         else:
@@ -739,12 +745,14 @@ def main(argv=None) -> int:
                                     "sort, or in-memory device sort)")
     p.add_argument("input")
     p.add_argument("output")
-    p.add_argument("--engine", choices=("native", "device", "mesh"),
+    p.add_argument("--engine", choices=("native", "device", "mesh", "pod"),
                    default="native",
                    help="native: out-of-core external merge sort; device: "
                         "in-memory sort on ONE jax device (header-hinted); "
                         "mesh: distributed sample sort over the whole "
-                        "device mesh (files up to the mesh's total HBM)")
+                        "device mesh (files up to the mesh's total HBM); "
+                        "pod (with --distributed): auto — mesh on TPU, "
+                        "shared-FS native external sample sort elsewhere")
     p.add_argument("--chunk-records", type=int, default=0)
     p.add_argument("--threads", type=int, default=0)
     _add_distributed_args(p)

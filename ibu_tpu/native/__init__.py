@@ -9,10 +9,13 @@ from ibu_tpu.native.bindings import (
     file_size,
     load_error,
     merge_files,
+    merge_runs_interval,
     pack_2bit,
     pread_parallel,
     pwrite_parallel,
     read_records,
+    run_interval,
+    sort_chunks_range,
     sort_file,
     sort_records,
     unpack_2bit,
@@ -25,10 +28,13 @@ __all__ = [
     "file_size",
     "load_error",
     "merge_files",
+    "merge_runs_interval",
     "pack_2bit",
     "pread_parallel",
     "pwrite_parallel",
     "read_records",
+    "run_interval",
+    "sort_chunks_range",
     "sort_file",
     "sort_records",
     "unpack_2bit",

@@ -70,6 +70,20 @@ def _load() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_uint64, ctypes.c_char_p,
     ]
     lib.ibu_merge_files.restype = ctypes.c_int
+    lib.ibu_sort_chunks_range.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_uint64, ctypes.c_int,
+    ]
+    lib.ibu_sort_chunks_range.restype = ctypes.c_int
+    lib.ibu_run_interval.argtypes = [
+        ctypes.c_char_p, u64p, u64p, ctypes.c_int, u64p,
+    ]
+    lib.ibu_run_interval.restype = ctypes.c_int
+    lib.ibu_merge_runs_interval.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_uint64, u64p, u64p,
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_uint64,
+    ]
+    lib.ibu_merge_runs_interval.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -267,6 +281,93 @@ def sort_records(records: np.ndarray) -> np.ndarray:
         "sort_records",
     )
     return records
+
+
+def sort_chunks_range(
+    in_path: str,
+    run_prefix: str,
+    start_rec: int,
+    n_rec: int,
+    chunk_records: int = 0,
+    nthreads: int = 0,
+) -> list[str]:
+    """Sorted HEADERLESS runs of a record range of an IBU file.
+
+    Phase 1 of the external sort generalized to a range — the per-rank
+    stage of the pod-wide host sort. Returns the run paths
+    (``{run_prefix}.runK``); the caller owns their cleanup.
+    """
+    lib = _load()
+    assert lib is not None
+    rc = lib.ibu_sort_chunks_range(
+        in_path.encode(), run_prefix.encode(), start_rec, n_rec,
+        chunk_records, nthreads,
+    )
+    if rc == -22:
+        from ibu_tpu.errors import InvalidMapSize
+
+        raise InvalidMapSize()
+    _check(min(rc, 0), "sort_chunks_range")
+    return [f"{run_prefix}.run{k}" for k in range(rc)]
+
+
+def _triple_arg(key) -> np.ndarray:
+    arr = np.asarray(list(key), dtype=np.uint64)
+    if arr.shape != (3,):
+        raise ValueError(f"key must be a (barcode, umi, index) triple: {key}")
+    return arr
+
+
+def run_interval(
+    run_path: str, lo, hi=None
+) -> tuple[int, int]:
+    """``[start, end)`` record indices of keys in ``[lo, hi)`` within a
+    sorted headerless run (``hi=None`` → unbounded above). O(log) page
+    touches — the counting pass of the pod-wide host sort."""
+    lib = _load()
+    assert lib is not None
+    lo_a = _triple_arg(lo)
+    hi_a = _triple_arg(hi) if hi is not None else np.zeros(3, np.uint64)
+    out = np.zeros(2, dtype=np.uint64)
+    _check(
+        lib.ibu_run_interval(
+            run_path.encode(), _u64ptr(lo_a), _u64ptr(hi_a),
+            1 if hi is None else 0, _u64ptr(out),
+        ),
+        "run_interval",
+    )
+    return int(out[0]), int(out[1])
+
+
+def merge_runs_interval(
+    run_paths: list[str], lo, hi, out_path: str, out_byte_offset: int
+) -> None:
+    """k-way merge of the ``[lo, hi)`` key interval of every sorted
+    headerless run, pwritten into the EXISTING ``out_path`` at
+    ``out_byte_offset`` (``hi=None`` → unbounded above).
+
+    The per-rank terminal stage of the pod-wide host sort: each rank
+    merges its key range directly into its slice of the shared
+    pre-truncated output — no post-merge concatenation pass. Run order
+    is verified while merging (``EILSEQ`` on violation, like
+    :func:`merge_files`).
+    """
+    lib = _load()
+    assert lib is not None
+    if not run_paths:
+        return
+    lo_a = _triple_arg(lo)
+    hi_a = _triple_arg(hi) if hi is not None else np.zeros(3, np.uint64)
+    arr = (ctypes.c_char_p * len(run_paths))(
+        *[p.encode() for p in run_paths]
+    )
+    _check(
+        lib.ibu_merge_runs_interval(
+            arr, len(run_paths), _u64ptr(lo_a), _u64ptr(hi_a),
+            1 if hi is None else 0, out_path.encode(), out_byte_offset,
+        ),
+        "merge_runs_interval",
+    )
 
 
 def merge_files(in_paths: list[str], out_path: str) -> None:

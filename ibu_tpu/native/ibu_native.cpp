@@ -474,6 +474,225 @@ done:
   return rc;
 }
 
+// ---------------------------------------------------------------------------
+// distributed host-path sort primitives (pod-scale shared-FS sample sort)
+// ---------------------------------------------------------------------------
+//
+// The pod-wide host sort (ibu_tpu/parallel/multihost.py::
+// multihost_sort_file host engine) composes three per-rank pieces so that
+// the TOTAL I/O per rank equals the single-host external sort's (4 passes
+// over n/P): (1) sorted headerless runs of MY record range; (2) binary-
+// searched [lo, hi) key intervals of any sorted run (sorted runs make a
+// key interval one contiguous slice); (3) a k-way merge of one interval
+// from EVERY rank's runs, pwritten at an exact byte offset of the shared
+// pre-truncated output — no post-merge concat pass.
+
+// Phase 1 of ibu_sort_file generalized to a record RANGE [start_rec,
+// start_rec + n_rec) of in_path. Runs are written as "<run_prefix>.runK"
+// (headerless, sorted). Returns the number of runs (>= 0) or -errno.
+int ibu_sort_chunks_range(const char* in_path, const char* run_prefix,
+                          uint64_t start_rec, uint64_t n_rec,
+                          uint64_t chunk_records, int nthreads) {
+  if (chunk_records == 0) chunk_records = 32ull * 1024 * 1024 / 24;
+  int in_fd = ::open(in_path, O_RDONLY);
+  if (in_fd < 0) return -errno;
+  struct stat st;
+  if (::fstat(in_fd, &st) != 0) { int e = errno; ::close(in_fd); return -e; }
+  uint64_t size = static_cast<uint64_t>(st.st_size);
+  if (size < 32 || (size - 32) % RECORD_SIZE != 0 ||
+      (start_rec + n_rec) * RECORD_SIZE > size - 32) {
+    ::close(in_fd);
+    return -EINVAL;
+  }
+  if (nthreads <= 0) nthreads = std::thread::hardware_concurrency();
+  nthreads = std::max(1, std::min(nthreads, 64));
+  uint64_t n_runs = n_rec == 0 ? 0 : (n_rec + chunk_records - 1) / chunk_records;
+  std::vector<std::string> run_paths(n_runs);
+  std::atomic<int> failure(0);
+  {
+    std::vector<std::thread> workers;
+    std::atomic<uint64_t> next_run(0);
+    for (int t = 0; t < nthreads; ++t) {
+      workers.emplace_back([&]() {
+        std::vector<IbuRecord> chunk;
+        for (;;) {
+          uint64_t r = next_run.fetch_add(1);
+          if (r >= n_runs || failure.load()) return;
+          uint64_t start = start_rec + r * chunk_records;
+          uint64_t count = std::min(chunk_records, start_rec + n_rec - start);
+          chunk.resize(count);
+          uint64_t bytes = count * sizeof(IbuRecord);
+          uint64_t got = 0;
+          uint8_t* dst = reinterpret_cast<uint8_t*>(chunk.data());
+          while (got < bytes) {
+            ssize_t rd = ::pread(in_fd, dst + got, bytes - got,
+                                 static_cast<off_t>(32 + start * 24 + got));
+            if (rd <= 0) { failure.store(EIO); return; }
+            got += static_cast<uint64_t>(rd);
+          }
+          std::sort(chunk.begin(), chunk.end(), record_less);
+          run_paths[r] = std::string(run_prefix) + ".run" + std::to_string(r);
+          int rc = ibu_write_file(
+              run_paths[r].c_str(), nullptr,
+              reinterpret_cast<const uint8_t*>(chunk.data()),
+              count * sizeof(IbuRecord));
+          if (rc != 0) { failure.store(-rc); return; }
+        }
+      });
+    }
+    for (auto& w : workers) w.join();
+  }
+  ::close(in_fd);
+  if (failure.load()) {
+    for (auto& p : run_paths) if (!p.empty()) ::unlink(p.c_str());
+    return -failure.load();
+  }
+  return static_cast<int>(n_runs);
+}
+
+namespace {
+
+inline bool triple_less(const IbuRecord& a, const uint64_t* k3) {
+  if (a.barcode != k3[0]) return a.barcode < k3[0];
+  if (a.umi != k3[1]) return a.umi < k3[1];
+  return a.index < k3[2];
+}
+
+// [start_idx, end_idx) of records with lo3 <= key (< hi3 unless unbounded)
+// in one sorted HEADERLESS run; mmap + std::lower_bound (O(log) faults).
+int run_interval_bounds(const char* run_path, const uint64_t* lo3,
+                        const uint64_t* hi3, int hi_unbounded,
+                        uint64_t* out2) {
+  int fd = ::open(run_path, O_RDONLY);
+  if (fd < 0) return -errno;
+  struct stat st;
+  if (::fstat(fd, &st) != 0) { int e = errno; ::close(fd); return -e; }
+  uint64_t size = static_cast<uint64_t>(st.st_size);
+  if (size % RECORD_SIZE != 0) { ::close(fd); return -EINVAL; }
+  uint64_t n = size / RECORD_SIZE;
+  if (n == 0) { ::close(fd); out2[0] = out2[1] = 0; return 0; }
+  void* map = ::mmap(nullptr, size, PROT_READ, MAP_SHARED, fd, 0);
+  ::close(fd);
+  if (map == MAP_FAILED) return -errno;
+  const IbuRecord* recs = reinterpret_cast<const IbuRecord*>(map);
+  auto less_key = [](const IbuRecord& a, const uint64_t* k) {
+    return triple_less(a, k);
+  };
+  const IbuRecord* a =
+      std::lower_bound(recs, recs + n, lo3, less_key);
+  const IbuRecord* b =
+      hi_unbounded ? recs + n : std::lower_bound(recs, recs + n, hi3, less_key);
+  out2[0] = static_cast<uint64_t>(a - recs);
+  out2[1] = static_cast<uint64_t>(b - recs);
+  ::munmap(map, size);
+  return out2[1] >= out2[0] ? 0 : -EINVAL;
+}
+
+}  // namespace
+
+// Python-visible interval query (counting pass for output offsets).
+int ibu_run_interval(const char* run_path, const uint64_t* lo3,
+                     const uint64_t* hi3, int hi_unbounded, uint64_t* out2) {
+  return run_interval_bounds(run_path, lo3, hi3, hi_unbounded, out2);
+}
+
+// k-way merge of the [lo3, hi3) key interval of every sorted HEADERLESS
+// run into out_path (which must already exist, pre-truncated) at
+// out_byte_offset. Order within each run's interval is verified while
+// merging (-EILSEQ on violation). The caller guarantees the destination
+// byte range is exactly the summed interval sizes.
+int ibu_merge_runs_interval(const char* const* run_paths, uint64_t n_runs,
+                            const uint64_t* lo3, const uint64_t* hi3,
+                            int hi_unbounded, const char* out_path,
+                            uint64_t out_byte_offset) {
+  std::vector<RunReader> runs(n_runs);
+  int rc = 0;
+  for (uint64_t r = 0; r < n_runs; ++r) {
+    uint64_t bounds[2];
+    rc = run_interval_bounds(run_paths[r], lo3, hi3, hi_unbounded, bounds);
+    if (rc != 0) goto fail_open;
+    runs[r].fd = ::open(run_paths[r], O_RDONLY);
+    if (runs[r].fd < 0) { rc = -errno; goto fail_open; }
+    if (::lseek(runs[r].fd, static_cast<off_t>(bounds[0] * RECORD_SIZE),
+                SEEK_SET) < 0) {
+      rc = -errno;
+      goto fail_open;
+    }
+    runs[r].buf.resize(1 << 16);
+    runs[r].remaining = bounds[1] - bounds[0];
+    if (runs[r].refill() < 0) { rc = -EIO; goto fail_open; }
+  }
+  goto opened;
+fail_open:
+  for (auto& rr : runs) if (rr.fd >= 0) ::close(rr.fd);
+  return rc;
+opened:
+
+  {
+    int out_fd = ::open(out_path, O_WRONLY);
+    if (out_fd < 0) {
+      rc = -errno;
+      for (auto& rr : runs) ::close(rr.fd);
+      return rc;
+    }
+    using HeapItem = std::pair<IbuRecord, uint64_t>;
+    auto heap_greater = [](const HeapItem& a, const HeapItem& b) {
+      return record_less(b.first, a.first);
+    };
+    std::vector<HeapItem> heap;
+    for (uint64_t r = 0; r < n_runs; ++r) {
+      if (runs[r].len > 0) heap.push_back({runs[r].buf[0], r});
+      runs[r].pos = 1;
+    }
+    std::make_heap(heap.begin(), heap.end(), heap_greater);
+
+    uint64_t out_pos = out_byte_offset;
+    std::vector<IbuRecord> out_buf;
+    out_buf.reserve(1 << 16);
+    auto flush = [&]() -> int {
+      uint64_t bytes = out_buf.size() * sizeof(IbuRecord);
+      uint64_t off = 0;
+      const uint8_t* src = reinterpret_cast<const uint8_t*>(out_buf.data());
+      while (off < bytes) {
+        ssize_t w = ::pwrite(out_fd, src + off, bytes - off,
+                             static_cast<off_t>(out_pos + off));
+        if (w < 0) return -errno;
+        off += static_cast<uint64_t>(w);
+      }
+      out_pos += bytes;
+      out_buf.clear();
+      return 0;
+    };
+
+    while (!heap.empty()) {
+      std::pop_heap(heap.begin(), heap.end(), heap_greater);
+      HeapItem item = heap.back();
+      heap.pop_back();
+      out_buf.push_back(item.first);
+      if (out_buf.size() == out_buf.capacity()) {
+        if ((rc = flush()) != 0) goto done;
+      }
+      RunReader& rr = runs[item.second];
+      if (rr.pos >= rr.len) {
+        int st = rr.refill();
+        if (st < 0) { rc = -EIO; goto done; }
+        if (st == 0) continue;
+      }
+      if (record_less(rr.buf[rr.pos], item.first)) {
+        rc = -EILSEQ;  // run not actually sorted
+        goto done;
+      }
+      heap.push_back({rr.buf[rr.pos++], item.second});
+      std::push_heap(heap.begin(), heap.end(), heap_greater);
+    }
+    if (!out_buf.empty()) rc = flush();
+  done:
+    if (::close(out_fd) != 0 && rc == 0) rc = -errno;
+    for (auto& rr : runs) ::close(rr.fd);
+    return rc;
+  }
+}
+
 // k-way merge of ALREADY-SORTED IBU files into one sorted file.
 // The output header is the first input's header with the sorted bit set
 // (the Python binding validates header compatibility before calling).

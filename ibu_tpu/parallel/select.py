@@ -183,6 +183,74 @@ def auto_stats_engine(
     return engine
 
 
+def measure_native_codec_recs(
+    length: int = 28, probe_rows: int = 1 << 18, timer=time.perf_counter
+) -> float | None:
+    """Threaded native host codec rate (records/s): time ``pack_2bit``
+    on a synthetic ``(N, L)`` block. ``None`` when native is unavailable
+    (the numpy codec stands in at a measured ~6 Mrec/s)."""
+    from ibu_tpu import native
+
+    if not native.available():
+        return None
+    rows = np.frombuffer(b"ACGT", dtype=np.uint8)[
+        (np.arange(probe_rows)[:, None] + np.arange(length)[None, :]) % 4
+    ]
+    native.pack_2bit(rows[:1024], validate=False)  # warm threads/pages
+    t0 = timer()
+    native.pack_2bit(rows, validate=False)
+    return probe_rows / max(timer() - t0, 1e-9)
+
+
+def numpy_codec_recs_per_s() -> float:
+    """Pessimistic numpy codec bar (measured ~5-8 Mrec/s at L=16)."""
+    return 5e6
+
+
+#: encode moves ~(L + 8) ASCII/index bytes up and 24 record bytes down
+#: per record; decode the reverse. 64 B/record is the round conservative
+#: figure for the feed-rate → codec-records conversion.
+CODEC_BYTES_PER_RECORD = 64.0
+
+
+def auto_codec_engine(mesh=None, announce: bool = True) -> str:
+    """Device-vs-host decision for the record codec paths (encode/decode
+    batches: FASTQ ingest/export, TSV decode).
+
+    Same transport question as stats ("is the link worth crossing?"), but
+    the host bar is the THREADED native host codec
+    (:func:`measure_native_codec_recs`) and the device side pays
+    ~:data:`CODEC_BYTES_PER_RECORD` of link traffic per record. Memoized;
+    announced once; ``IBU_AUTO_ENGINE`` overrides (``device`` → device,
+    anything else → host).
+    """
+    env = os.environ.get("IBU_AUTO_ENGINE")
+    if env:
+        return "device" if env == "device" else "host"
+    if "codec_engine" in _MEMO:
+        return _MEMO["codec_engine"]
+    if "device_gbps" not in _MEMO:
+        _MEMO["device_gbps"] = measure_device_feed_gbps(mesh=mesh)
+    if "native_codec_recs" not in _MEMO:
+        _MEMO["native_codec_recs"] = measure_native_codec_recs()
+    device_recs = _MEMO["device_gbps"] * 1e9 / CODEC_BYTES_PER_RECORD
+    host_recs = _MEMO["native_codec_recs"]
+    host_name = "native codec"
+    if host_recs is None:
+        host_recs = numpy_codec_recs_per_s()
+        host_name = "numpy codec"
+    engine = "device" if device_recs >= host_recs else "host"
+    _MEMO["codec_engine"] = engine
+    if announce:
+        print(
+            f"codec engine auto: device link ~{device_recs/1e6:.0f} Mrec/s "
+            f"vs {host_name} ~{host_recs/1e6:.0f} Mrec/s -> {engine} "
+            "(IBU_AUTO_ENGINE overrides)",
+            file=sys.stderr,
+        )
+    return engine
+
+
 def auto_device_or_host(
     path: str, n_records: int, mesh=None, what: str = "histogram",
     announce: bool = True,

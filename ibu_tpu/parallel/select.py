@@ -61,13 +61,22 @@ def measure_device_feed_gbps(
     bandwidth. Puts repeat until ``min_seconds`` of measured time or
     ``max_puts``, whichever first (a starved link answers in one put; a
     fast link loops a few times for noise robustness).
+
+    The default mesh is LOCAL devices only: a ``device_put`` onto a
+    multi-process mesh is a collective, and a probe fired from one rank
+    while its peers sit at an unrelated collective deadlocks the cohort
+    until the heartbeat timeout (observed in the distributed ingest
+    error-path test). A local probe measures the same link, and engine
+    divergence across ranks is safe for every auto consumer (the
+    host/device codec forks contain no collectives).
     """
     import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    from ibu_tpu.parallel.device import AXIS, make_mesh
+    from ibu_tpu.parallel.device import AXIS
 
-    mesh = mesh or make_mesh()
+    if mesh is None:
+        mesh = Mesh(np.array(jax.local_devices()), (AXIS,))
     sharding = NamedSharding(mesh, P(AXIS, None))
     s = int(mesh.devices.size)
     rows = max(s, (probe_bytes // 24) // s * s)

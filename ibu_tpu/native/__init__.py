@@ -6,6 +6,7 @@ Built lazily with g++ on first use; see :mod:`ibu_tpu.native.bindings`.
 from ibu_tpu.native.bindings import (
     available,
     checksum_parallel,
+    fastq_gather,
     file_size,
     load_error,
     merge_files,
@@ -25,6 +26,7 @@ from ibu_tpu.native.bindings import (
 __all__ = [
     "available",
     "checksum_parallel",
+    "fastq_gather",
     "file_size",
     "load_error",
     "merge_files",

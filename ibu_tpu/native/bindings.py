@@ -69,6 +69,11 @@ def _load() -> ctypes.CDLL | None:
         u64p, ctypes.c_uint64, ctypes.c_uint32, u8p, ctypes.c_int,
     ]
     lib.ibu_unpack_2bit_mt.restype = ctypes.c_int
+    lib.ibu_fastq_gather.argtypes = [
+        u8p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint32,
+        ctypes.c_uint64, u8p, ctypes.c_uint64, u64p,
+    ]
+    lib.ibu_fastq_gather.restype = ctypes.c_int
     lib.ibu_sort_records.argtypes = [u8p, ctypes.c_uint64]
     lib.ibu_sort_records.restype = ctypes.c_int
     lib.ibu_sort_file.argtypes = [
@@ -301,6 +306,43 @@ def sort_records(records: np.ndarray) -> np.ndarray:
         "sort_records",
     )
     return records
+
+
+def fastq_gather(
+    data, first_lineno: int, prefix_len: int, start_cap: int | None = None
+) -> tuple[np.ndarray, int, int, bool, int, int]:
+    """Prefix rows of the sequence lines among ``data``'s complete lines.
+
+    The native FASTQ chunk parser (memchr scan + per-read prefix memcpy):
+    returns ``(rows, consumed, lines, capped, err_line, err_content)``
+    where ``rows`` is an ``(N, prefix_len)`` uint8 array, ``consumed`` is
+    the byte offset after the last processed line, ``lines`` the number
+    of processed lines, and ``capped`` whether a line at/after
+    ``start_cap`` stopped processing (the byte-range shard cut). A
+    sequence line shorter than ``prefix_len`` returns with
+    ``err_line >= 0`` instead of raising — the caller owns the
+    user-facing message (and its exact wording).
+    """
+    lib = _load()
+    assert lib is not None
+    arr = np.frombuffer(data, dtype=np.uint8)
+    # a 4-line record is at least prefix_len + 7 bytes, so this bounds
+    # the sequence-line count of any chunk
+    max_rows = len(arr) // (prefix_len + 7) + 2
+    rows = np.empty((max_rows, prefix_len), dtype=np.uint8)
+    out = np.zeros(6, dtype=np.uint64)
+    rc = lib.ibu_fastq_gather(
+        _u8ptr(arr), len(arr), first_lineno, prefix_len,
+        (1 << 63) if start_cap is None else start_cap,
+        _u8ptr(rows.reshape(-1)), max_rows, _u64ptr(out),
+    )
+    if rc == -22:  # short sequence line: caller formats the error
+        return (
+            rows[: int(out[0])], int(out[1]), int(out[2]), bool(out[3]),
+            int(out[4]), int(out[5]),
+        )
+    _check(rc, "fastq_gather")
+    return rows[: int(out[0])], int(out[1]), int(out[2]), bool(out[3]), -1, 0
 
 
 def sort_chunks_range(

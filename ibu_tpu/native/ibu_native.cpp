@@ -309,6 +309,58 @@ int ibu_unpack_2bit_mt(const uint64_t* words, uint64_t n, uint32_t L,
 }
 
 // ---------------------------------------------------------------------------
+// FASTQ chunk parser (the ingest hot loop)
+// ---------------------------------------------------------------------------
+
+// Gather the first prefix_len bases of every SEQUENCE line (global line
+// index % 4 == 1) among the COMPLETE lines of buf, row-major into
+// rows_out. Lines starting at/after start_cap are not processed (the
+// byte-range shard cut; pass UINT64_MAX for none). memchr + memcpy —
+// the numpy fancy-index path measured ~4.7 Mread/s/chunk, this ~4x.
+//
+// out6: [rows_written, bytes_consumed (offset after the last processed
+// line's newline), lines_processed, capped(0/1), err_line, err_content].
+// Returns 0, or -EINVAL for a sequence line shorter than prefix_len
+// (err_line = its global line index, err_content = its length excluding
+// a trailing \r — the caller formats the user-facing message).
+int ibu_fastq_gather(const uint8_t* buf, uint64_t len, uint64_t first_lineno,
+                     uint32_t prefix_len, uint64_t start_cap,
+                     uint8_t* rows_out, uint64_t max_rows, uint64_t* out6) {
+  uint64_t rows = 0, consumed = 0, lines = 0;
+  uint64_t pos = 0;
+  out6[3] = out6[4] = out6[5] = 0;
+  while (pos < len) {
+    if (pos >= start_cap) { out6[3] = 1; break; }
+    const void* nl = ::memchr(buf + pos, '\n', len - pos);
+    if (nl == nullptr) break;  // trailing partial line -> caller's carry
+    uint64_t end = static_cast<uint64_t>(
+        static_cast<const uint8_t*>(nl) - buf);
+    if (((first_lineno + lines) & 3) == 1) {
+      uint64_t content = end - pos;
+      if (content > 0 && buf[end - 1] == '\r') content -= 1;  // CRLF
+      if (content < prefix_len) {
+        out6[0] = rows;
+        out6[1] = consumed;
+        out6[2] = lines;
+        out6[4] = first_lineno + lines;
+        out6[5] = content;
+        return -EINVAL;
+      }
+      if (rows >= max_rows) return -ENOMEM;  // caller sized rows_out wrong
+      ::memcpy(rows_out + rows * prefix_len, buf + pos, prefix_len);
+      ++rows;
+    }
+    ++lines;
+    pos = end + 1;
+    consumed = pos;
+  }
+  out6[0] = rows;
+  out6[1] = consumed;
+  out6[2] = lines;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // record sort (lexicographic barcode → umi → index; record.rs:29-32)
 // ---------------------------------------------------------------------------
 

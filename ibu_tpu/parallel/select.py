@@ -238,6 +238,24 @@ def auto_codec_engine(mesh=None, announce: bool = True) -> str:
         return "device" if env == "device" else "host"
     if "codec_engine" in _MEMO:
         return _MEMO["codec_engine"]
+    import jax
+
+    if jax.default_backend() == "cpu":
+        # no accelerator: the "device" path is jax-on-host, and the feed
+        # probe would measure memcpy-to-self (~GB/s) — a meaningless
+        # codec-rate proxy. The native codec beats CPU-lax encode when
+        # built; keep the lax path only as the no-native fallback.
+        from ibu_tpu import native
+
+        engine = "host" if native.available() else "device"
+        _MEMO["codec_engine"] = engine
+        if announce:
+            print(
+                f"codec engine auto: cpu backend -> {engine} "
+                "(IBU_AUTO_ENGINE overrides)",
+                file=sys.stderr,
+            )
+        return engine
     if "device_gbps" not in _MEMO:
         _MEMO["device_gbps"] = measure_device_feed_gbps(mesh=mesh)
     if "native_codec_recs" not in _MEMO:

@@ -628,6 +628,27 @@ def fastq_prefix_batches(
             yield np.ascontiguousarray(block[:batch])
             pend, pn = [block[batch:]], pn - batch
 
+    # the native chunk parser (memchr scan + per-read prefix memcpy,
+    # ~4x the numpy fancy-index path) takes the hot loop when built;
+    # behavior — rows, carry, byte-range cut, line numbers, the exact
+    # short-read message — is identical (tests run both)
+    from ibu_tpu import native as _native
+
+    use_native = _native.available()
+
+    def _native_rows(data, cap):
+        nonlocal line_base
+        rows, consumed, lines, capped, err_line, err_content = (
+            _native.fastq_gather(data, line_base, prefix_len, cap)
+        )
+        if err_line >= 0:
+            raise ValueError(
+                f"read at line {err_line + 1} is {err_content} bases, "
+                f"shorter than bc_len+umi_len={prefix_len}"
+            )
+        line_base += lines
+        return rows, consumed, capped
+
     carry = b""
     abs0 = byte_range[0] if byte_range else 0  # file offset of carry start
     end_byte = byte_range[1] if byte_range else None
@@ -647,6 +668,18 @@ def fastq_prefix_batches(
             if not chunk:
                 break
             data = carry + chunk if carry else chunk
+            if use_native:
+                cap = (
+                    None if end_byte is None else max(end_byte - abs0, 0)
+                )
+                rows, consumed, done = _native_rows(data, cap)
+                carry = data[consumed:]
+                abs0 += consumed
+                if len(rows):
+                    pend.append(rows)
+                    pn += len(rows)
+                    yield from _emit_ready()
+                continue
             arr = np.frombuffer(data, dtype=np.uint8)
             nl = np.flatnonzero(arr == 10)
             if len(nl) == 0:
@@ -671,13 +704,19 @@ def fastq_prefix_batches(
                 yield from _emit_ready()
     if carry and not done and (end_byte is None or abs0 < end_byte):
         # final line without a trailing newline
-        arr = np.frombuffer(carry, dtype=np.uint8)
-        rows = _rows_from(
-            arr, np.array([0]), np.array([len(arr)]), line_base
-        )
-        if rows is not None:
-            pend.append(rows)
-            pn += len(rows)
+        if use_native:
+            rows, _, _ = _native_rows(bytes(carry) + b"\n", None)
+            if len(rows):
+                pend.append(rows)
+                pn += len(rows)
+        else:
+            arr = np.frombuffer(carry, dtype=np.uint8)
+            rows = _rows_from(
+                arr, np.array([0]), np.array([len(arr)]), line_base
+            )
+            if rows is not None:
+                pend.append(rows)
+                pn += len(rows)
     yield from _emit_ready()
     if pn:
         block = pend[0] if len(pend) == 1 else np.concatenate(pend)

@@ -7,8 +7,8 @@ ibu_tpu hard-requires native code).
 import numpy as np
 import pytest
 
-from ibu_tpu import Header, native, sort_records
-from ibu_tpu.constructs.record import make_records
+from ibu_tpu import Header, Writer, native, sort_records
+from ibu_tpu.constructs.record import RECORD_DTYPE, make_records
 from ibu_tpu.ops import codec as C
 from tests.conftest import make_records_arange
 
@@ -290,3 +290,119 @@ class TestMergeFiles:
         from ibu_tpu import MmapReader
 
         assert len(MmapReader(path)) == 5
+
+
+class TestPodSortPrimitives:
+    """Direct unit tests of the pod host-sort natives (the cluster tests
+    cover composition; these pin each primitive's contract)."""
+
+    @staticmethod
+    def _file(tmp_path, recs):
+        path = str(tmp_path / "p.ibu")
+        with Writer.from_path(path, Header.new(16, 12)) as w:
+            w.write_batch(recs)
+        return path
+
+    def test_sort_chunks_range_runs_sorted_and_complete(self, tmp_path):
+        if not native.available():
+            pytest.skip("no native runtime")
+        rng = np.random.default_rng(5)
+        recs = make_records(
+            rng.integers(0, 1 << 40, 10_000).astype(np.uint64),
+            rng.integers(0, 1 << 40, 10_000).astype(np.uint64),
+            np.arange(10_000, dtype=np.uint64),
+        )
+        path = self._file(tmp_path, recs)
+        runs = native.sort_chunks_range(
+            path, str(tmp_path / "r"), 100, 8_000, chunk_records=3_000
+        )
+        assert len(runs) == 3  # ceil(8000/3000)
+        parts = [np.fromfile(r, dtype=recs.dtype) for r in runs]
+        for p in parts:
+            assert np.array_equal(
+                p, np.sort(p, order=("barcode", "umi", "index"))
+            )
+        got = np.sort(np.concatenate(parts),
+                      order=("barcode", "umi", "index"))
+        want = np.sort(recs[100:8_100], order=("barcode", "umi", "index"))
+        assert np.array_equal(got, want)
+        # empty range -> zero runs
+        assert native.sort_chunks_range(
+            path, str(tmp_path / "e"), 0, 0
+        ) == []
+
+    def test_run_interval_bounds(self, tmp_path):
+        if not native.available():
+            pytest.skip("no native runtime")
+        recs = np.sort(
+            make_records(
+                np.repeat(np.arange(10, dtype=np.uint64), 100),
+                np.zeros(1000, dtype=np.uint64),
+                np.arange(1000, dtype=np.uint64),
+            ),
+            order=("barcode", "umi", "index"),
+        )
+        run = str(tmp_path / "run0")
+        recs.tofile(run)  # headerless
+        a, b = native.run_interval(run, (3, 0, 0), (7, 0, 0))
+        assert (a, b) == (300, 700)
+        a, b = native.run_interval(run, (0, 0, 0), None)
+        assert (a, b) == (0, 1000)
+        a, b = native.run_interval(run, (99, 0, 0), (200, 0, 0))
+        assert (a, b) == (1000, 1000)  # empty interval past the end
+
+    def test_merge_runs_interval_order_verified(self, tmp_path):
+        if not native.available():
+            pytest.skip("no native runtime")
+        bad = np.zeros(3, dtype=RECORD_DTYPE)
+        bad["barcode"] = [5, 3, 7]  # NOT sorted
+        run = str(tmp_path / "bad0")
+        bad.tofile(run)
+        out = str(tmp_path / "o.ibu")
+        with open(out, "wb") as f:
+            f.truncate(32 + 24 * 3)
+        with pytest.raises(OSError):  # EILSEQ from the in-merge check
+            native.merge_runs_interval([run], (0, 0, 0), None, out, 32)
+
+
+class TestFastqGather:
+    def test_basic_and_phase(self):
+        if not native.available():
+            pytest.skip("no native runtime")
+        data = b"@a\nACGTACGT\n+\nIIIIIIII\n@b\nTTTTACGT\n+\nIIIIIIII\n"
+        rows, consumed, lines, capped, err, _ = native.fastq_gather(
+            data, 0, 8
+        )
+        assert rows.tolist() == [list(b"ACGTACGT"), list(b"TTTTACGT")]
+        assert consumed == len(data) and lines == 8 and not capped
+        assert err == -1
+        # phase offset: with first_lineno=2 the local lines are global
+        # 2,3,4,5,... so (global % 4 == 1) selects local line 3 — the
+        # first QUAL line — proving the phase rides the global index
+        rows2, *_ = native.fastq_gather(data, 2, 8)
+        assert rows2.tolist() == [list(b"IIIIIIII"), list(b"IIIIIIII")]
+
+    def test_crlf_and_short_read(self):
+        if not native.available():
+            pytest.skip("no native runtime")
+        data = b"@a\r\nACGT\r\n+\r\nIIII\r\n"
+        rows, consumed, lines, capped, err, content = native.fastq_gather(
+            data, 0, 4
+        )
+        assert err == -1 and rows.tolist() == [list(b"ACGT")]
+        # short seq line reports its global line + content length
+        rows, consumed, lines, capped, err, content = native.fastq_gather(
+            b"@a\nAC\n+\nII\n", 100, 4
+        )
+        assert err == 101 and content == 2
+
+    def test_start_cap(self):
+        if not native.available():
+            pytest.skip("no native runtime")
+        data = b"@a\nAAAA\n+\nIIII\n@b\nCCCC\n+\nIIII\n"
+        cap = data.index(b"@b")
+        rows, consumed, lines, capped, err, _ = native.fastq_gather(
+            data, 0, 4, start_cap=cap
+        )
+        assert rows.tolist() == [list(b"AAAA")]
+        assert capped and lines == 4 and consumed == cap

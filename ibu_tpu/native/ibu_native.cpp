@@ -386,6 +386,18 @@ int ibu_sort_records(uint8_t* records_bytes, uint64_t n_records) {
 // the header's sorted flag set (bit 0, header layout per
 // /root/reference/src/constructs/header.rs:17-24).
 
+// forward declarations: ibu_sort_file's parallel merge phase reuses the
+// pod-sort interval primitives defined further down
+namespace {
+int run_interval_bounds(const char* run_path, const uint64_t* lo3,
+                        const uint64_t* hi3, int hi_unbounded,
+                        uint64_t* out2);
+}  // namespace
+int ibu_merge_runs_interval(const char* const* run_paths, uint64_t n_runs,
+                            const uint64_t* lo3, const uint64_t* hi3,
+                            int hi_unbounded, const char* out_path,
+                            uint64_t out_byte_offset);
+
 namespace {
 
 struct RunReader {
@@ -486,94 +498,125 @@ int ibu_sort_file(const char* in_path, const char* out_path,
     return -failure.load();
   }
 
-  // phase 2: k-way merge
-  std::vector<RunReader> runs(n_runs);
-  for (uint64_t r = 0; r < n_runs; ++r) {
-    runs[r].fd = ::open(run_paths[r].c_str(), O_RDONLY);
-    if (runs[r].fd < 0) {
-      int e = errno;
-      for (auto& rr : runs) if (rr.fd >= 0) ::close(rr.fd);
-      for (auto& p : run_paths) ::unlink(p.c_str());
-      return -e;
-    }
-    runs[r].buf.resize(1 << 16);  // 64K records (1.5 MB) per run buffer
-    runs[r].remaining = run_sizes[r];
-    if (runs[r].refill() < 0) {
-      for (auto& rr : runs) if (rr.fd >= 0) ::close(rr.fd);
-      for (auto& p : run_paths) ::unlink(p.c_str());
-      return -EIO;
-    }
-  }
-
-  int out_fd = ::open(out_path, O_WRONLY | O_CREAT | O_TRUNC, 0644);
-  if (out_fd < 0) {
-    int e = errno;
-    for (auto& rr : runs) ::close(rr.fd);
-    for (auto& p : run_paths) ::unlink(p.c_str());
-    return -e;
-  }
-  // header with sorted flag (bit 0 of the u64 at offset 16)
-  header[16] |= 1;
-  if (::write(out_fd, header, 32) != 32) {
-    ::close(out_fd);
-    for (auto& rr : runs) ::close(rr.fd);
-    for (auto& p : run_paths) ::unlink(p.c_str());
-    return -EIO;
-  }
-
-  using HeapItem = std::pair<IbuRecord, uint64_t>;  // (record, run id)
-  auto heap_greater = [](const HeapItem& a, const HeapItem& b) {
-    return record_less(b.first, a.first);
-  };
-  std::vector<HeapItem> heap;
-  for (uint64_t r = 0; r < n_runs; ++r) {
-    if (runs[r].len > 0) heap.push_back({runs[r].buf[0], r});
-  }
-  std::make_heap(heap.begin(), heap.end(), heap_greater);
-  for (auto& rr : runs) rr.pos = 1;
-
-  std::vector<IbuRecord> out_buf;
-  out_buf.reserve(1 << 16);
+  // phase 2 (round 5): KEY-RANGE-PARALLEL k-way merge. Sampled splitters
+  // partition the key space; each thread merges one [lo, hi) interval of
+  // every run (an interval of a sorted run is one contiguous slice) and
+  // pwrites it at its exact byte offset of the pre-truncated output.
+  // Byte-identical to the sequential merge — equal records are
+  // byte-identical, so any valid splitter choice yields the same file —
+  // and the merge stage now scales with cores like the chunk sorts do.
   int rc = 0;
-  while (!heap.empty()) {
-    std::pop_heap(heap.begin(), heap.end(), heap_greater);
-    HeapItem item = heap.back();
-    heap.pop_back();
-    out_buf.push_back(item.first);
-    if (out_buf.size() == out_buf.capacity()) {
-      uint64_t bytes = out_buf.size() * sizeof(IbuRecord);
-      uint64_t off = 0;
-      const uint8_t* src = reinterpret_cast<const uint8_t*>(out_buf.data());
-      while (off < bytes) {
-        ssize_t w = ::write(out_fd, src + off, bytes - off);
-        if (w < 0) { rc = -errno; goto done; }
-        off += static_cast<uint64_t>(w);
+  {
+    int out_fd = ::open(out_path, O_WRONLY | O_CREAT | O_TRUNC, 0644);
+    if (out_fd < 0) { rc = -errno; goto cleanup; }
+    header[16] |= 1;  // sorted flag (bit 0 of the u64 at offset 16)
+    if (::write(out_fd, header, 32) != 32 ||
+        ::ftruncate(out_fd, 32 + n_records * RECORD_SIZE) != 0) {
+      ::close(out_fd);
+      rc = -EIO;
+      goto cleanup;
+    }
+    if (::close(out_fd) != 0) { rc = -errno; goto cleanup; }
+  }
+  {
+    std::vector<const char*> paths(n_runs);
+    for (uint64_t r = 0; r < n_runs; ++r) paths[r] = run_paths[r].c_str();
+    int mthreads = nthreads;
+    if (n_records < (1u << 20)) mthreads = 1;  // spawn cost dominates
+    if (mthreads <= 1) {
+      uint64_t zeros[3] = {0, 0, 0};
+      rc = ibu_merge_runs_interval(paths.data(), n_runs, zeros, zeros, 1,
+                                   out_path, 32);
+    } else {
+      // splitters: S evenly-spaced samples per run, sorted, quantiles
+      const uint64_t S = 128;
+      std::vector<IbuRecord> samples;
+      for (uint64_t r = 0; r < n_runs; ++r) {
+        if (run_sizes[r] == 0) continue;
+        int fd = ::open(run_paths[r].c_str(), O_RDONLY);
+        if (fd < 0) { rc = -errno; goto cleanup; }
+        for (uint64_t k = 0; k < S; ++k) {
+          uint64_t at = ((2 * k + 1) * run_sizes[r]) / (2 * S);
+          if (at >= run_sizes[r]) at = run_sizes[r] - 1;
+          IbuRecord rec;
+          if (::pread(fd, &rec, sizeof(rec),
+                      static_cast<off_t>(at * RECORD_SIZE)) !=
+              static_cast<ssize_t>(sizeof(rec))) {
+            ::close(fd);
+            rc = -EIO;
+            goto cleanup;
+          }
+          samples.push_back(rec);
+        }
+        ::close(fd);
       }
-      out_buf.clear();
+      std::sort(samples.begin(), samples.end(), record_less);
+      std::vector<IbuRecord> splitters;
+      for (int t = 1; t < mthreads; ++t)
+        splitters.push_back(samples[(t * samples.size()) / mthreads]);
+
+      // interval counts per thread → exact output offsets (+ a total
+      // cross-check so a partition bug aborts instead of emitting a
+      // silently corrupt "sorted" file)
+      std::vector<uint64_t> counts(mthreads, 0);
+      for (int t = 0; t < mthreads; ++t) {
+        uint64_t lo[3] = {0, 0, 0};
+        uint64_t hi[3] = {0, 0, 0};
+        if (t > 0) {
+          lo[0] = splitters[t - 1].barcode;
+          lo[1] = splitters[t - 1].umi;
+          lo[2] = splitters[t - 1].index;
+        }
+        int hi_unbounded = (t == mthreads - 1) ? 1 : 0;
+        if (!hi_unbounded) {
+          hi[0] = splitters[t].barcode;
+          hi[1] = splitters[t].umi;
+          hi[2] = splitters[t].index;
+        }
+        for (uint64_t r = 0; r < n_runs; ++r) {
+          uint64_t b2[2];
+          int irc = run_interval_bounds(run_paths[r].c_str(), lo, hi,
+                                        hi_unbounded, b2);
+          if (irc != 0) { rc = irc; goto cleanup; }
+          counts[t] += b2[1] - b2[0];
+        }
+      }
+      uint64_t total = 0;
+      for (auto c : counts) total += c;
+      if (total != n_records) { rc = -EIO; goto cleanup; }
+
+      std::atomic<int> merge_fail(0);
+      std::vector<std::thread> mergers;
+      uint64_t off = 32;
+      for (int t = 0; t < mthreads; ++t) {
+        uint64_t my_off = off;
+        off += counts[t] * RECORD_SIZE;
+        mergers.emplace_back([&, t, my_off]() {
+          uint64_t lo[3] = {0, 0, 0};
+          uint64_t hi[3] = {0, 0, 0};
+          if (t > 0) {
+            lo[0] = splitters[t - 1].barcode;
+            lo[1] = splitters[t - 1].umi;
+            lo[2] = splitters[t - 1].index;
+          }
+          int hi_unbounded = (t == mthreads - 1) ? 1 : 0;
+          if (!hi_unbounded) {
+            hi[0] = splitters[t].barcode;
+            hi[1] = splitters[t].umi;
+            hi[2] = splitters[t].index;
+          }
+          int irc = ibu_merge_runs_interval(
+              paths.data(), n_runs, lo, hi, hi_unbounded, out_path, my_off);
+          if (irc != 0) merge_fail.store(-irc);
+        });
+      }
+      for (auto& th : mergers) th.join();
+      rc = -merge_fail.load();
     }
-    RunReader& rr = runs[item.second];
-    if (rr.pos >= rr.len) {
-      int st = rr.refill();
-      if (st < 0) { rc = -EIO; goto done; }
-      if (st == 0) continue;  // run cleanly exhausted
-    }
-    heap.push_back({rr.buf[rr.pos++], item.second});
-    std::push_heap(heap.begin(), heap.end(), heap_greater);
   }
-  if (!out_buf.empty()) {
-    uint64_t bytes = out_buf.size() * sizeof(IbuRecord);
-    uint64_t off = 0;
-    const uint8_t* src = reinterpret_cast<const uint8_t*>(out_buf.data());
-    while (off < bytes) {
-      ssize_t w = ::write(out_fd, src + off, bytes - off);
-      if (w < 0) { rc = -errno; break; }
-      off += static_cast<uint64_t>(w);
-    }
-  }
-done:
-  ::close(out_fd);
-  for (auto& rr : runs) ::close(rr.fd);
-  for (auto& p : run_paths) ::unlink(p.c_str());
+cleanup:
+  for (auto& p : run_paths) if (!p.empty()) ::unlink(p.c_str());
+  if (rc != 0) ::unlink(out_path);  // no partial "sorted" file on failure
   return rc;
 }
 

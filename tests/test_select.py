@@ -231,7 +231,11 @@ class TestCliAuto:
 
 class TestCodecEngine:
     def test_auto_codec_decision(self, monkeypatch):
+        import jax
+
         monkeypatch.delenv("IBU_AUTO_ENGINE", raising=False)
+        # accelerator backend: the probe decides
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
         # starved link + fast native codec -> host
         select.reset_probe_memo()
         select._MEMO.update(
@@ -247,6 +251,19 @@ class TestCodecEngine:
         )
         try:
             assert select.auto_codec_engine(announce=False) == "device"
+        finally:
+            select.reset_probe_memo()
+
+    def test_auto_codec_cpu_backend_routes_by_backend(self, monkeypatch):
+        """On a CPU backend the 'device' is the same host and the feed
+        probe measures memcpy-to-self — route by backend instead."""
+        from ibu_tpu import native
+
+        monkeypatch.delenv("IBU_AUTO_ENGINE", raising=False)
+        select.reset_probe_memo()
+        try:
+            want = "host" if native.available() else "device"
+            assert select.auto_codec_engine(announce=False) == want
         finally:
             select.reset_probe_memo()
 

@@ -98,6 +98,12 @@ def _load() -> ctypes.CDLL | None:
         ctypes.c_int, ctypes.c_char_p, ctypes.c_uint64,
     ]
     lib.ibu_merge_runs_interval.restype = ctypes.c_int
+    lib.ibu_merge_runs_interval_mt.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_uint64, u64p, u64p,
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int,
+        ctypes.c_uint64,
+    ]
+    lib.ibu_merge_runs_interval_mt.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -402,7 +408,8 @@ def run_interval(
 
 
 def merge_runs_interval(
-    run_paths: list[str], lo, hi, out_path: str, out_byte_offset: int
+    run_paths: list[str], lo, hi, out_path: str, out_byte_offset: int,
+    nthreads: int = 0, expect_records: int | None = None,
 ) -> None:
     """k-way merge of the ``[lo, hi)`` key interval of every sorted
     headerless run, pwritten into the EXISTING ``out_path`` at
@@ -410,9 +417,12 @@ def merge_runs_interval(
 
     The per-rank terminal stage of the pod-wide host sort: each rank
     merges its key range directly into its slice of the shared
-    pre-truncated output — no post-merge concatenation pass. Run order
-    is verified while merging (``EILSEQ`` on violation, like
-    :func:`merge_files`).
+    pre-truncated output — no post-merge concatenation pass. The merge
+    is key-range-parallel across ``nthreads`` (0 → all cores; sampled
+    sub-splitters, byte-identical output for any splitter choice). Run
+    order is verified while merging (``EILSEQ`` on violation, like
+    :func:`merge_files`); ``expect_records`` cross-checks the interval's
+    total so a partition bug aborts instead of writing silent zeros.
     """
     lib = _load()
     assert lib is not None
@@ -424,9 +434,11 @@ def merge_runs_interval(
         *[p.encode() for p in run_paths]
     )
     _check(
-        lib.ibu_merge_runs_interval(
+        lib.ibu_merge_runs_interval_mt(
             arr, len(run_paths), _u64ptr(lo_a), _u64ptr(hi_a),
             1 if hi is None else 0, out_path.encode(), out_byte_offset,
+            nthreads,
+            (1 << 64) - 1 if expect_records is None else expect_records,
         ),
         "merge_runs_interval",
     )

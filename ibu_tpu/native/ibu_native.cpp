@@ -397,6 +397,11 @@ int ibu_merge_runs_interval(const char* const* run_paths, uint64_t n_runs,
                             const uint64_t* lo3, const uint64_t* hi3,
                             int hi_unbounded, const char* out_path,
                             uint64_t out_byte_offset);
+int ibu_merge_runs_interval_mt(const char* const* run_paths, uint64_t n_runs,
+                               const uint64_t* lo3, const uint64_t* hi3,
+                               int hi_unbounded, const char* out_path,
+                               uint64_t out_byte_offset, int nthreads,
+                               uint64_t expect_records);
 
 namespace {
 
@@ -521,98 +526,9 @@ int ibu_sort_file(const char* in_path, const char* out_path,
   {
     std::vector<const char*> paths(n_runs);
     for (uint64_t r = 0; r < n_runs; ++r) paths[r] = run_paths[r].c_str();
-    int mthreads = nthreads;
-    if (n_records < (1u << 20)) mthreads = 1;  // spawn cost dominates
-    if (mthreads <= 1) {
-      uint64_t zeros[3] = {0, 0, 0};
-      rc = ibu_merge_runs_interval(paths.data(), n_runs, zeros, zeros, 1,
-                                   out_path, 32);
-    } else {
-      // splitters: S evenly-spaced samples per run, sorted, quantiles
-      const uint64_t S = 128;
-      std::vector<IbuRecord> samples;
-      for (uint64_t r = 0; r < n_runs; ++r) {
-        if (run_sizes[r] == 0) continue;
-        int fd = ::open(run_paths[r].c_str(), O_RDONLY);
-        if (fd < 0) { rc = -errno; goto cleanup; }
-        for (uint64_t k = 0; k < S; ++k) {
-          uint64_t at = ((2 * k + 1) * run_sizes[r]) / (2 * S);
-          if (at >= run_sizes[r]) at = run_sizes[r] - 1;
-          IbuRecord rec;
-          if (::pread(fd, &rec, sizeof(rec),
-                      static_cast<off_t>(at * RECORD_SIZE)) !=
-              static_cast<ssize_t>(sizeof(rec))) {
-            ::close(fd);
-            rc = -EIO;
-            goto cleanup;
-          }
-          samples.push_back(rec);
-        }
-        ::close(fd);
-      }
-      std::sort(samples.begin(), samples.end(), record_less);
-      std::vector<IbuRecord> splitters;
-      for (int t = 1; t < mthreads; ++t)
-        splitters.push_back(samples[(t * samples.size()) / mthreads]);
-
-      // interval counts per thread → exact output offsets (+ a total
-      // cross-check so a partition bug aborts instead of emitting a
-      // silently corrupt "sorted" file)
-      std::vector<uint64_t> counts(mthreads, 0);
-      for (int t = 0; t < mthreads; ++t) {
-        uint64_t lo[3] = {0, 0, 0};
-        uint64_t hi[3] = {0, 0, 0};
-        if (t > 0) {
-          lo[0] = splitters[t - 1].barcode;
-          lo[1] = splitters[t - 1].umi;
-          lo[2] = splitters[t - 1].index;
-        }
-        int hi_unbounded = (t == mthreads - 1) ? 1 : 0;
-        if (!hi_unbounded) {
-          hi[0] = splitters[t].barcode;
-          hi[1] = splitters[t].umi;
-          hi[2] = splitters[t].index;
-        }
-        for (uint64_t r = 0; r < n_runs; ++r) {
-          uint64_t b2[2];
-          int irc = run_interval_bounds(run_paths[r].c_str(), lo, hi,
-                                        hi_unbounded, b2);
-          if (irc != 0) { rc = irc; goto cleanup; }
-          counts[t] += b2[1] - b2[0];
-        }
-      }
-      uint64_t total = 0;
-      for (auto c : counts) total += c;
-      if (total != n_records) { rc = -EIO; goto cleanup; }
-
-      std::atomic<int> merge_fail(0);
-      std::vector<std::thread> mergers;
-      uint64_t off = 32;
-      for (int t = 0; t < mthreads; ++t) {
-        uint64_t my_off = off;
-        off += counts[t] * RECORD_SIZE;
-        mergers.emplace_back([&, t, my_off]() {
-          uint64_t lo[3] = {0, 0, 0};
-          uint64_t hi[3] = {0, 0, 0};
-          if (t > 0) {
-            lo[0] = splitters[t - 1].barcode;
-            lo[1] = splitters[t - 1].umi;
-            lo[2] = splitters[t - 1].index;
-          }
-          int hi_unbounded = (t == mthreads - 1) ? 1 : 0;
-          if (!hi_unbounded) {
-            hi[0] = splitters[t].barcode;
-            hi[1] = splitters[t].umi;
-            hi[2] = splitters[t].index;
-          }
-          int irc = ibu_merge_runs_interval(
-              paths.data(), n_runs, lo, hi, hi_unbounded, out_path, my_off);
-          if (irc != 0) merge_fail.store(-irc);
-        });
-      }
-      for (auto& th : mergers) th.join();
-      rc = -merge_fail.load();
-    }
+    uint64_t zeros[3] = {0, 0, 0};
+    rc = ibu_merge_runs_interval_mt(paths.data(), n_runs, zeros, zeros, 1,
+                                    out_path, 32, nthreads, n_records);
   }
 cleanup:
   for (auto& p : run_paths) if (!p.empty()) ::unlink(p.c_str());
@@ -837,6 +753,124 @@ opened:
     for (auto& rr : runs) ::close(rr.fd);
     return rc;
   }
+}
+
+// Thread-parallel variant of ibu_merge_runs_interval: sampled
+// SUB-splitters partition the caller's [lo, hi) key interval and each
+// thread merges one sub-interval of every run straight to its byte
+// offset. Byte-identical to the sequential merge (equal records are
+// byte-identical under any valid splitter choice). expect_records
+// (UINT64_MAX = skip) cross-checks the partition's total so a bug
+// aborts instead of emitting silent corruption. Used by ibu_sort_file's
+// phase 2 (whole key space) and by the pod host sort's per-rank merge.
+int ibu_merge_runs_interval_mt(const char* const* run_paths, uint64_t n_runs,
+                               const uint64_t* lo3, const uint64_t* hi3,
+                               int hi_unbounded, const char* out_path,
+                               uint64_t out_byte_offset, int nthreads,
+                               uint64_t expect_records) {
+  if (nthreads <= 0) nthreads = std::thread::hardware_concurrency();
+  nthreads = std::max(1, std::min(nthreads, 64));
+
+  // per-run sub-interval bounds (also the counting pass)
+  std::vector<uint64_t> a(n_runs), b(n_runs);
+  uint64_t total = 0;
+  for (uint64_t r = 0; r < n_runs; ++r) {
+    uint64_t b2[2];
+    int rc = run_interval_bounds(run_paths[r], lo3, hi3, hi_unbounded, b2);
+    if (rc != 0) return rc;
+    a[r] = b2[0];
+    b[r] = b2[1];
+    total += b2[1] - b2[0];
+  }
+  if (expect_records != UINT64_MAX && total != expect_records) return -EIO;
+  if (total < (1u << 20)) nthreads = 1;  // spawn cost dominates
+
+  if (nthreads == 1) {
+    return ibu_merge_runs_interval(run_paths, n_runs, lo3, hi3,
+                                   hi_unbounded, out_path, out_byte_offset);
+  }
+
+  // sub-splitters: S evenly-spaced samples per run's sub-interval
+  const uint64_t S = 128;
+  std::vector<IbuRecord> samples;
+  for (uint64_t r = 0; r < n_runs; ++r) {
+    uint64_t len = b[r] - a[r];
+    if (len == 0) continue;
+    int fd = ::open(run_paths[r], O_RDONLY);
+    if (fd < 0) return -errno;
+    for (uint64_t k = 0; k < S; ++k) {
+      uint64_t at = a[r] + ((2 * k + 1) * len) / (2 * S);
+      if (at >= b[r]) at = b[r] - 1;
+      IbuRecord rec;
+      if (::pread(fd, &rec, sizeof(rec),
+                  static_cast<off_t>(at * RECORD_SIZE)) !=
+          static_cast<ssize_t>(sizeof(rec))) {
+        ::close(fd);
+        return -EIO;
+      }
+      samples.push_back(rec);
+    }
+    ::close(fd);
+  }
+  if (samples.empty()) return 0;  // empty interval: nothing to write
+  std::sort(samples.begin(), samples.end(), record_less);
+  std::vector<IbuRecord> splitters;
+  for (int t = 1; t < nthreads; ++t)
+    splitters.push_back(samples[(t * samples.size()) / nthreads]);
+
+  auto bounds_of = [&](int t, uint64_t* lo, uint64_t* hi, int* unb) {
+    if (t == 0) {
+      lo[0] = lo3[0]; lo[1] = lo3[1]; lo[2] = lo3[2];
+    } else {
+      lo[0] = splitters[t - 1].barcode;
+      lo[1] = splitters[t - 1].umi;
+      lo[2] = splitters[t - 1].index;
+    }
+    if (t == nthreads - 1) {
+      *unb = hi_unbounded;
+      hi[0] = hi3[0]; hi[1] = hi3[1]; hi[2] = hi3[2];
+    } else {
+      *unb = 0;
+      hi[0] = splitters[t].barcode;
+      hi[1] = splitters[t].umi;
+      hi[2] = splitters[t].index;
+    }
+  };
+
+  // per-thread counts → offsets (+ the same total cross-check)
+  std::vector<uint64_t> counts(nthreads, 0);
+  for (int t = 0; t < nthreads; ++t) {
+    uint64_t lo[3], hi[3];
+    int unb;
+    bounds_of(t, lo, hi, &unb);
+    for (uint64_t r = 0; r < n_runs; ++r) {
+      uint64_t b2[2];
+      int rc = run_interval_bounds(run_paths[r], lo, hi, unb, b2);
+      if (rc != 0) return rc;
+      counts[t] += b2[1] - b2[0];
+    }
+  }
+  uint64_t check = 0;
+  for (auto c : counts) check += c;
+  if (check != total) return -EIO;
+
+  std::atomic<int> merge_fail(0);
+  std::vector<std::thread> mergers;
+  uint64_t off = out_byte_offset;
+  for (int t = 0; t < nthreads; ++t) {
+    uint64_t my_off = off;
+    off += counts[t] * RECORD_SIZE;
+    mergers.emplace_back([&, t, my_off]() {
+      uint64_t lo[3], hi[3];
+      int unb;
+      bounds_of(t, lo, hi, &unb);
+      int rc = ibu_merge_runs_interval(run_paths, n_runs, lo, hi, unb,
+                                       out_path, my_off);
+      if (rc != 0) merge_fail.store(-rc);
+    });
+  }
+  for (auto& th : mergers) th.join();
+  return -merge_fail.load();
 }
 
 // k-way merge of ALREADY-SORTED IBU files into one sorted file.

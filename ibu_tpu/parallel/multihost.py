@@ -542,7 +542,8 @@ def _multihost_sort_host(
         try:
             if my_count:
                 native.merge_runs_interval(
-                    all_runs, lo, hi, out_path, my_offset
+                    all_runs, lo, hi, out_path, my_offset,
+                    expect_records=my_count,
                 )
         except BaseException as e:
             failed = e

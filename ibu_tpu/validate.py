@@ -207,6 +207,25 @@ def run_matrix(progress=None) -> list[tuple[str, bool]]:
         got_hist[int(u_lo[i]) | (int(u_hi[i]) << 32)] = int(counts_np[i])
     check("device histogram", got_hist == want and int(n_uniq) == len(want))
 
+    # sorted-input histogram fast path (round 5): no per-shard sort;
+    # in-kernel order verification must also fire on compiled kernels
+    from ibu_tpu.parallel.device import DeviceHistogram
+
+    srec = np.sort(hrec, order=("barcode", "umi", "index"))
+    hfast = DeviceHistogram(
+        capacity=1024, max_uniques_per_shard=1024, assume_sorted=True
+    )
+    check("sorted histogram fast path", hfast.run(iter([srec])) == want)
+    hlie = DeviceHistogram(
+        capacity=1024, max_uniques_per_shard=1024, assume_sorted=True
+    )
+    hlie.update(hrec)  # unsorted data under the sorted claim
+    try:
+        hlie.finalize()
+        check("sorted-path order detection", False)
+    except ValueError:
+        check("sorted-path order detection", True)
+
     # UMI dedup kernel: distinct (bc, umi) pairs per barcode
     mrec = make_records(
         rng.integers(0, 200, 30_000, dtype=np.uint64),

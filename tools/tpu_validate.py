@@ -22,7 +22,7 @@ apply_platform_env()
 
 import jax
 
-from ibu_tpu.validate import run_matrix
+from ibu_tpu.validate import run_matrix, write_artifact
 
 
 def main() -> int:
@@ -33,6 +33,11 @@ def main() -> int:
     results = run_matrix(progress=lambda line: print(line, flush=True))
     passed = sum(ok for _, ok in results)
     failed = sum(not ok for _, ok in results)
+    if jax.default_backend() == "tpu":
+        # same artifact bench.py writes; never clobbered by CPU runs
+        path = __file__.rsplit("/", 2)[0] + "/TPU_VALIDATE.json"
+        write_artifact(path, results)
+        print(f"artifact: {path}", flush=True)
     print(f"\n{passed} passed, {failed} failed", flush=True)
     return 1 if failed else 0
 

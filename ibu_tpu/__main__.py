@@ -229,6 +229,7 @@ def cmd_sort(args) -> int:
                 args.input, args.output,
                 engine="mesh" if args.engine == "mesh" else "auto",
                 chunk_records=args.chunk_records,
+                nthreads=args.threads,
             )
             if not _is_rank0():
                 return 0

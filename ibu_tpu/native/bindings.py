@@ -332,9 +332,13 @@ def fastq_gather(
     lib = _load()
     assert lib is not None
     arr = np.frombuffer(data, dtype=np.uint8)
-    # a 4-line record is at least prefix_len + 7 bytes, so this bounds
-    # the sequence-line count of any chunk
-    max_rows = len(arr) // (prefix_len + 7) + 2
+    # sequence-line bound: a seq line costs prefix_len+1 bytes and its 3
+    # sibling lines at least 1 byte each ('\n' — name/plus/qual lines may
+    # all be EMPTY; short qual lines are legal input to this parser), so
+    # S seq lines need >= S*(prefix_len+4) - 3 bytes. The earlier
+    # prefix_len+7 bound assumed non-empty siblings and crashed with
+    # ENOMEM on empty-qual FASTQs the numpy path parses fine.
+    max_rows = (len(arr) + 3) // (prefix_len + 4) + 2
     rows = np.empty((max_rows, prefix_len), dtype=np.uint8)
     out = np.zeros(6, dtype=np.uint64)
     rc = lib.ibu_fastq_gather(

@@ -398,11 +398,15 @@ def _gather_state_tree(states):
     allgather moves it, and the global ``(S, ...)`` leaves reassemble by
     rank order.
 
-    Valid when every process owns one CONTIGUOUS, rank-ordered row block
-    of each leaf — true for ``make_mesh()`` (jax.devices() is
-    process-ordered) with ``P(AXIS)`` states on homogeneous cohorts; the
-    shard indices are verified and anything else falls back to the
-    per-leaf gather.
+    Valid when every process owns one CONTIGUOUS, rank-ordered,
+    equal-sized row block of each leaf — true for ``make_mesh()``
+    (jax.devices() is process-ordered) with ``P(AXIS)`` states on
+    homogeneous cohorts. The verdict is computed from the GLOBAL mesh
+    device order, which every rank sees identically — a per-rank verdict
+    (e.g. from local shard indices) could route different ranks onto
+    DIFFERENT collective sequences (one packed allgather vs one per
+    leaf) and hang the cohort until the heartbeat timeout. Anything
+    irregular falls back to the per-leaf gather on EVERY rank.
     """
     from jax.experimental import multihost_utils
 
@@ -418,28 +422,49 @@ def _gather_state_tree(states):
             states,
         )
 
+    # -- global layout verdict (identical on every rank) --
+    def _mesh_pids(x):
+        sh = getattr(x, "sharding", None)
+        mesh = getattr(sh, "mesh", None)
+        if mesh is None:
+            return None
+        try:
+            return [d.process_index for d in mesh.devices.flat]
+        except AttributeError:
+            return None
+
+    ok = bool(leaves)
+    pids0 = _mesh_pids(leaves[0]) if leaves else None
+    if pids0 is None or pids0 != sorted(pids0):
+        ok = False  # devices not grouped in ascending rank order
+    else:
+        counts = np.bincount(pids0, minlength=nprocs)
+        if len(set(pids0)) != nprocs or not (counts == counts[0]).all():
+            ok = False  # missing ranks or heterogeneous device counts
+    if ok:
+        n_dev = len(pids0)
+        for x in leaves:
+            if _mesh_pids(x) != pids0 or x.shape[0] % n_dev:
+                ok = False
+                break
+    if not ok:
+        return _fallback()
+
     locals_, metas = [], []
     for x in leaves:
-        s = x.shape[0]
-        if s % nprocs:
-            return _fallback()
-        rows_local = s // nprocs
+        rows_local = x.shape[0] // nprocs
         shards = sorted(x.addressable_shards, key=lambda h: h.index[0].start)
-        starts = [h.index[0].start for h in shards]
-        sizes = [h.data.shape[0] for h in shards]
-        # my rows must be exactly the contiguous block [pid*rows_local, ...)
-        if (
-            starts[0] != pid * rows_local
-            or sum(sizes) != rows_local
-            or any(
-                starts[i] != starts[i - 1] + sizes[i - 1]
-                for i in range(1, len(starts))
-            )
-        ):
-            return _fallback()
         block = np.ascontiguousarray(
             np.concatenate([np.asarray(h.data) for h in shards])
         )
+        if block.shape[0] != rows_local:
+            # the global verdict said this cannot happen; a mismatch is a
+            # sharding-model bug, not a layout variant — fail loudly and
+            # identically everywhere rather than silently mis-merging
+            raise RuntimeError(
+                f"_gather_state_tree: local rows {block.shape[0]} != "
+                f"expected {rows_local} despite a regular global layout"
+            )
         locals_.append(block.view(np.uint8).reshape(-1))
         metas.append((block.dtype, (rows_local,) + x.shape[1:]))
     flat = (

@@ -74,6 +74,20 @@ def _cohort_checkpoint(
     return gathered[:, 1:]
 
 
+def _even_sample_positions(n: int, s: int) -> np.ndarray:
+    """``s`` evenly-spaced positions in ``[0, n)`` (``(2k+1)·n/2s``) —
+    the sampling rule shared by every splitter election here (count
+    matrix, host sort) and echoed by the C merge's sub-splitters."""
+    pos = ((np.arange(s) + 0.5) * n / s).astype(np.int64)
+    return np.minimum(pos, max(n - 1, 0))
+
+
+def _splitter_cut_indices(total: int, nprocs: int) -> np.ndarray:
+    """Quantile cut positions into a sorted sample array: splitter
+    ``d`` sits at ``d·total/nprocs`` for ``d = 1..nprocs-1``."""
+    return (np.arange(1, nprocs) * total) // nprocs
+
+
 def _pwrite_all(fd: int, data, offset: int) -> None:
     """``os.pwrite`` until every byte lands: pwrite may return short
     (ENOSPC after partial progress, signal interruption, NFS/Lustre
@@ -332,6 +346,7 @@ def multihost_sort_file(
     samples_per_shard: int = 256,
     engine: str = "auto",
     chunk_records: int = 0,
+    nthreads: int = 0,
 ) -> None:
     """Pod-scale sorted rewrite, engine-dispatched.
 
@@ -356,14 +371,41 @@ def multihost_sort_file(
     announcing on stderr; ``IBU_POD_SORT_ENGINE`` overrides globally.
     """
     if engine == "auto":
-        engine = os.environ.get("IBU_POD_SORT_ENGINE") or ""
-        if not engine:
+        env = os.environ.get("IBU_POD_SORT_ENGINE") or ""
+        if env:
+            engine, why = env, "operator override"
+        else:
             engine, why = _choose_pod_sort_engine(in_path)
-            print(f"pod sort engine auto: {why} -> {engine}",
-                  file=sys.stderr)
+        if jax.process_count() > 1:
+            # the choice must be COHORT-UNIFORM (the two engines run
+            # different collective programs; divergent ranks would hang
+            # until the heartbeat timeout): gather rank 0's preference
+            # and every rank's native availability, resolve identically
+            # everywhere — host only if rank 0 chose it AND every rank
+            # can run it
+            from jax.experimental import multihost_utils
+
+            from ibu_tpu import native
+
+            lane = np.asarray(
+                [[1 if engine == "host" else 0,
+                  1 if native.available() else 0]], dtype=np.int64
+            )
+            g = multihost_utils.process_allgather(lane).reshape(-1, 2)
+            uniform = "host" if (g[0, 0] and g[:, 1].all()) else "mesh"
+            if uniform != engine:
+                why += (
+                    f"; cohort agreement overrode local choice "
+                    f"{engine!r} (rank-0 preference + every-rank native "
+                    "availability)"
+                )
+            engine = uniform
+        print(f"pod sort engine auto: {why} -> {engine}",
+              file=sys.stderr)
     if engine == "host":
         return _multihost_sort_host(
             in_path, out_path, chunk_records=chunk_records,
+            nthreads=nthreads,
         )
     if engine != "mesh":
         raise ValueError(
@@ -408,6 +450,7 @@ def _multihost_sort_host(
     in_path: str,
     out_path: str,
     chunk_records: int = 0,
+    nthreads: int = 0,
     samples_per_rank: int = 256,
 ) -> None:
     """Pod-scale shared-FS external sample sort (host path).
@@ -441,7 +484,8 @@ def _multihost_sort_host(
             f"pod host sort needs the native runtime: {native.load_error()}"
         )
     if jax.process_count() == 1:
-        native.sort_file(in_path, out_path, chunk_records=chunk_records)
+        native.sort_file(in_path, out_path, chunk_records=chunk_records,
+                         nthreads=nthreads)
         return
 
     _require_plain(in_path, "sort")
@@ -461,7 +505,7 @@ def _multihost_sort_host(
         try:
             runs = native.sort_chunks_range(
                 in_path, run_prefix, start, end - start,
-                chunk_records=chunk_records,
+                chunk_records=chunk_records, nthreads=nthreads,
             )
         except BaseException as e:
             failed = e
@@ -482,10 +526,7 @@ def _multihost_sort_host(
         tot = sum(sizes)
         if tot:
             bounds = np.concatenate([[0], np.cumsum(sizes)])
-            pos = (
-                (np.arange(samples_per_rank) + 0.5) * tot / samples_per_rank
-            ).astype(np.int64)
-            pos = np.minimum(pos, tot - 1)
+            pos = _even_sample_positions(tot, samples_per_rank)
             which = np.searchsorted(bounds, pos, side="right") - 1
             for i, (w, p) in enumerate(zip(which, pos)):
                 rec = np.memmap(
@@ -502,7 +543,7 @@ def _multihost_sort_host(
         key_sorted = np.sort(
             key_view, order=("barcode", "umi", "index")
         )
-        sp_at = (np.arange(1, nprocs) * len(key_sorted)) // nprocs
+        sp_at = _splitter_cut_indices(len(key_sorted), nprocs)
         splitters = [
             (int(r["barcode"]), int(r["umi"]), int(r["index"]))
             for r in key_sorted[sp_at]
@@ -543,7 +584,7 @@ def _multihost_sort_host(
             if my_count:
                 native.merge_runs_interval(
                     all_runs, lo, hi, out_path, my_offset,
-                    expect_records=my_count,
+                    nthreads=nthreads, expect_records=my_count,
                 )
         except BaseException as e:
             failed = e
@@ -1269,8 +1310,7 @@ def multihost_count_matrix(
         s_n = _COUNT_SPLIT_SAMPLES
         bc_col = keys["barcode"]
         if len(bc_col):
-            pos = ((np.arange(s_n) + 0.5) * len(bc_col) / s_n).astype(int)
-            samples = bc_col[np.minimum(pos, len(bc_col) - 1)]
+            samples = bc_col[_even_sample_positions(len(bc_col), s_n)]
         else:
             samples = np.full(s_n, u64max, dtype=np.uint64)
         gathered = np.sort(  # allgather output is a read-only view
@@ -1278,7 +1318,7 @@ def multihost_count_matrix(
                 samples[None, :].astype(np.uint64)
             ).reshape(nprocs * s_n)
         )
-        sp_at = (np.arange(1, nprocs) * len(gathered)) // nprocs
+        sp_at = _splitter_cut_indices(len(gathered), nprocs)
         splitters = gathered[sp_at]  # (nprocs-1,) — rank d owns
         # barcodes b with (# splitters <= b) == d
 

@@ -136,7 +136,18 @@ def probe_rates(path: str, n_records: int, mesh=None) -> dict:
     # the native probe is per-file in principle but rate is dominated by
     # the engine, not the file; memoize on first use like the feed probe
     if "native_recs" not in _MEMO:
-        _MEMO["native_recs"] = measure_native_recs_per_s(path, n_records)
+        rate = measure_native_recs_per_s(path, n_records)
+        if rate is not None:
+            _MEMO["native_recs"] = rate
+        else:
+            from ibu_tpu import native
+
+            if not native.available():
+                # permanently unavailable — cache the verdict
+                _MEMO["native_recs"] = None
+            # else: this FILE was empty (nothing to probe); don't poison
+            # the memo — the next call on a real file probes again
+            return {**_MEMO, "native_recs": None}
     return dict(_MEMO)
 
 
@@ -278,24 +289,47 @@ def auto_codec_engine(mesh=None, announce: bool = True) -> str:
     return engine
 
 
+def measure_host_histogram_recs(
+    probe_records: int = 1 << 20, timer=time.perf_counter
+) -> float:
+    """The host histogram engine's actual rate: ``np.unique`` group-sum
+    over synthetic u64 barcodes (the engine ``host_stream_histogram``
+    really runs — NOT the native checksum, which a histogram cannot
+    use; routing the histogram by the checksum's ~900 Mrec/s bar made
+    auto pick the ~90 Mrec/s numpy path on healthy links)."""
+    vals = (
+        np.arange(probe_records, dtype=np.uint64) * np.uint64(2654435761)
+    ) % np.uint64(4096)
+    np.unique(vals[:4096], return_counts=True)  # warm
+    t0 = timer()
+    np.unique(vals, return_counts=True)
+    return probe_records / max(timer() - t0, 1e-9)
+
+
 def auto_device_or_host(
     path: str, n_records: int, mesh=None, what: str = "histogram",
     announce: bool = True,
 ) -> str:
-    """Binary device-vs-host decision for streaming tools whose host side
-    is a numpy pass rather than the native checksum (histogram, etc.).
-    Same probes and rule as :func:`auto_stats_engine` — the question is
-    identical ("is the link worth crossing?") — collapsed to
-    ``{"device", "host"}``."""
+    """Binary device-vs-host decision for streaming tools whose host
+    side is the numpy pass (histogram): the device feed probe against
+    the MEASURED host-histogram rate — the engine that would actually
+    run on "host" — collapsed to ``{"device", "host"}``."""
     env = os.environ.get("IBU_AUTO_ENGINE")
     if env:
         return "device" if env == "device" else "host"
-    rates = probe_rates(path, n_records, mesh=mesh)
-    engine, reason = choose_stats_engine(
-        rates["device_gbps"], rates["native_recs"]
-    )
-    engine = "device" if engine == "device" else "host"
+    if "device_gbps" not in _MEMO:
+        _MEMO["device_gbps"] = measure_device_feed_gbps(mesh=mesh)
+    if "host_hist_recs" not in _MEMO:
+        _MEMO["host_hist_recs"] = measure_host_histogram_recs()
+    device_recs = _MEMO["device_gbps"] * 1e9 / 24.0
+    host_recs = _MEMO["host_hist_recs"]
+    engine = "device" if device_recs >= host_recs else "host"
     if announce:
-        print(f"engine auto ({what}): {reason} -> {engine} "
-              "(--engine forces a specific one)", file=sys.stderr)
+        print(
+            f"engine auto ({what}): device feed "
+            f"~{device_recs / 1e6:.0f} Mrec/s vs host numpy "
+            f"~{host_recs / 1e6:.0f} Mrec/s -> {engine} "
+            "(--engine forces a specific one)",
+            file=sys.stderr,
+        )
     return engine

@@ -92,7 +92,10 @@ def test_cli_distributed_histogram(data_file):
     path, n = data_file
     import re
 
-    outs = _run_cohort(["histogram", path, "--top", "64"])
+    # 300 s: the distributed DeviceHistogram compiles its (mesh, stage)
+    # shapes fresh in each cohort subprocess on a cold cache — generous
+    # headroom so shared-CI contention can't turn a compile into a "hang"
+    outs = _run_cohort(["histogram", path, "--top", "64"], timeout=300)
     row = re.compile(r"^[ACGT]{16}\t\d+$")
     lines = [l for l in outs[0][0].splitlines() if row.match(l)]
     assert len(lines) == 64, outs[0][0]

@@ -513,3 +513,22 @@ class TestIngestFastq:
         r = Reader.from_path(out)
         assert r.header().sorted()
         assert sum(len(b) for b in r.batches()) == 10
+
+
+class TestParserEmptySiblingLines:
+    def test_empty_qual_and_name_lines_parse(self, tmp_path):
+        """FASTQ records whose name/plus/qual lines are EMPTY are legal
+        input to the prefix parser; the native gather's row bound must
+        accommodate them (review r5: the prefix_len+7 bound returned
+        ENOMEM where the numpy path parsed fine)."""
+        from ibu_tpu.pipelines import fastq_prefix_batches
+
+        n = 5000
+        seq = b"A" * 16
+        fq = tmp_path / "empty_qual.fastq"
+        fq.write_bytes(b"".join(b"@\n%s\n+\n\n" % seq for _ in range(n)))
+        rows = np.concatenate(
+            list(fastq_prefix_batches(str(fq), 16, batch=1024))
+        )
+        assert rows.shape == (n, 16)
+        assert (rows == ord("A")).all()

@@ -311,3 +311,60 @@ class TestCodecEngine:
         bad[123_456 % len(bad), 5] = ord("N")
         with pytest.raises(ValueError, match="invalid nucleotide"):
             native.pack_2bit(bad, validate=True, nthreads=0)
+
+
+class TestReviewRegressions:
+    def test_probe_memo_not_poisoned_by_empty_file(self, tmp_path,
+                                                   monkeypatch):
+        """Probing an EMPTY file first must not permanently disable the
+        native engine for the process (review r5)."""
+        from ibu_tpu import native
+
+        if not native.available():
+            pytest.skip("no native runtime")
+        empty = tmp_path / "e.ibu"
+        with Writer.from_path(str(empty), Header.new(16, 12)):
+            pass
+        rng = np.random.default_rng(1)
+        n = 30_000
+        recs = make_records(
+            rng.integers(0, 99, n).astype(np.uint64),
+            rng.integers(0, 99, n).astype(np.uint64),
+            np.arange(n, dtype=np.uint64),
+        )
+        full = tmp_path / "f.ibu"
+        with Writer.from_path(str(full), Header.new(16, 12)) as w:
+            w.write_batch(recs)
+        select.reset_probe_memo()
+        try:
+            r1 = select.probe_rates(str(empty), 0)
+            assert r1["native_recs"] is None  # nothing to probe THIS call
+            r2 = select.probe_rates(str(full), n)
+            assert r2["native_recs"] is not None and r2["native_recs"] > 0
+        finally:
+            select.reset_probe_memo()
+
+    def test_histogram_auto_uses_host_histogram_bar(self, monkeypatch,
+                                                    tmp_path):
+        """auto_device_or_host must compare against the numpy histogram
+        rate (the engine 'host' actually runs), not the native checksum
+        (review r5): a feed faster than np.unique but slower than the
+        checksum must pick DEVICE."""
+        monkeypatch.delenv("IBU_AUTO_ENGINE", raising=False)
+        select.reset_probe_memo()
+        # feed 10 GB/s ≈ 416 Mrec/s; checksum-style bar would be ~900
+        # and mis-route to host; the histogram bar (~90) picks device
+        select._MEMO.update(
+            {"device_gbps": 10.0, "host_hist_recs": 90e6,
+             "native_recs": 900e6}
+        )
+        try:
+            assert select.auto_device_or_host("x", 1, announce=False) == (
+                "device"
+            )
+            select._MEMO["device_gbps"] = 0.04  # starved -> host
+            assert select.auto_device_or_host("x", 1, announce=False) == (
+                "host"
+            )
+        finally:
+            select.reset_probe_memo()

@@ -750,26 +750,42 @@ def ingest_fastq(
     import os
 
     from ibu_tpu import native
+    from ibu_tpu.constructs.header import HEADER_SIZE
+    from ibu_tpu.constructs.record import RECORD_SIZE
     from ibu_tpu.io.compression import infer_compression
 
     prefix_len = bc_len + umi_len
     header = Header.new(bc_len, umi_len)
     out_compression = infer_compression(ibu_path)
-    # Stream encoded batches to an UNSORTED sibling file, then sort it
-    # out-of-core with the native external merge sort: ingestion memory
-    # stays bounded at one batch regardless of FASTQ size. Without the
-    # native runtime, fall back to in-memory accumulation + device sort.
+    # Out-of-core flow (round 5): encoded batches accumulate to ~32 MB
+    # chunks that are sorted IN RAM and spilled as sorted headerless
+    # runs, then one key-range-parallel merge writes the final file —
+    # the records are already in memory after encode, so the old
+    # write-unsorted-temp → read-back → chunk-sort flow paid two whole
+    # extra passes of n records for nothing. Memory stays bounded at one
+    # chunk. Without the native runtime, fall back to in-memory
+    # accumulation + device sort.
     out_of_core = native.available()
-    tmp_path = ibu_path + ".unsorted" if out_of_core else None
-    all_records = []
+    chunk_records = 32 * 1024 * 1024 // 24  # the external sort's default
+    all_records: list = []
+    run_paths: list[str] = []
+    pend: list = []
+    pend_n = 0
     total = 0
-    sink = Writer.from_path(tmp_path, header) if out_of_core else None
+
+    def _spill(chunk: list) -> None:
+        merged = np.concatenate(chunk) if len(chunk) > 1 else chunk[0]
+        merged = native.sort_records(np.ascontiguousarray(merged))
+        rp = f"{ibu_path}.ingest.run{len(run_paths)}"
+        merged.tofile(rp)  # headerless sorted run
+        run_paths.append(rp)
+
     try:
         from ibu_tpu.io.stream import thread_prefetched
 
         # parse/decompress the NEXT batches on a background thread while
-        # this one encodes + writes: gzip FASTQ inflation is CPU-bound and
-        # otherwise serializes with the device encode
+        # this one encodes + spills: gzip FASTQ inflation is CPU-bound and
+        # otherwise serializes with the encode
         for prefixes in thread_prefetched(
             fastq_prefix_batches(fastq_path, prefix_len, batch), depth=2
         ):
@@ -782,24 +798,40 @@ def ingest_fastq(
             records = encode_batch(
                 prefixes[:, :bc_len], prefixes[:, bc_len:], idx
             )
-            if sink is not None:
-                sink.write_batch(records)
+            if out_of_core:
+                pend.append(records)
+                pend_n += n
+                if pend_n >= chunk_records:
+                    _spill(pend)
+                    pend, pend_n = [], 0
             else:
                 all_records.append(records)
             total += n
+        if out_of_core and pend:
+            _spill(pend)
+            pend = []
     except Exception:
-        if sink is not None:
-            sink.close()
-            os.unlink(tmp_path)
+        for rp in run_paths:
+            try:
+                os.unlink(rp)
+            except OSError:
+                pass
         raise
 
-    if sink is not None:
-        sink.close()
-        # the native sort writes plain bytes; compress into place afterward
+    if out_of_core:
+        # the merge writes plain bytes; compress into place afterward
         # when the output extension asks for it
         sort_dst = ibu_path + ".sorted" if out_compression else ibu_path
         try:
-            native.sort_file(tmp_path, sort_dst)
+            out_header = Header.new(bc_len, umi_len)
+            out_header.set_sorted()
+            with open(sort_dst, "wb") as f:
+                f.write(out_header.as_bytes())
+                f.truncate(HEADER_SIZE + RECORD_SIZE * total)
+            native.merge_runs_interval(
+                run_paths, (0, 0, 0), None, sort_dst, HEADER_SIZE,
+                expect_records=total,
+            )
             if out_compression:
                 from ibu_tpu.io.compression import open_compressed
 
@@ -811,8 +843,19 @@ def ingest_fastq(
                             dst.write(chunk)
                 finally:
                     os.unlink(sort_dst)
+        except BaseException:
+            # never leave a partial full-size "sorted" file behind
+            try:
+                os.unlink(sort_dst)
+            except OSError:
+                pass
+            raise
         finally:
-            os.unlink(tmp_path)
+            for rp in run_paths:
+                try:
+                    os.unlink(rp)
+                except OSError:
+                    pass
         return total
 
     from ibu_tpu.constructs.record import RECORD_DTYPE

@@ -319,7 +319,7 @@ def cmd_histogram(args) -> int:
             else:
                 from ibu_tpu.parallel.select import auto_device_or_host
 
-                engine = auto_device_or_host(args.path, n_records)
+                engine = auto_device_or_host()
         if engine == "host":
             from ibu_tpu.pipelines import host_stream_histogram
 

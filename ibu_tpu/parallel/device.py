@@ -447,6 +447,17 @@ def _gather_state_tree(states):
             if _mesh_pids(x) != pids0 or x.shape[0] % n_dev:
                 ok = False
                 break
+            # dim 0 must be FULLY partitioned across all devices — a
+            # replicated (or partially sharded) leaf would concatenate
+            # whole copies locally; shard_shape is global info, so the
+            # verdict stays identical on every rank
+            try:
+                if x.sharding.shard_shape(x.shape)[0] * n_dev != x.shape[0]:
+                    ok = False
+                    break
+            except Exception:  # noqa: BLE001 — unknown sharding type
+                ok = False
+                break
     if not ok:
         return _fallback()
 

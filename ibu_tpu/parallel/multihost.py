@@ -379,19 +379,28 @@ def multihost_sort_file(
         if jax.process_count() > 1:
             # the choice must be COHORT-UNIFORM (the two engines run
             # different collective programs; divergent ranks would hang
-            # until the heartbeat timeout): gather rank 0's preference
-            # and every rank's native availability, resolve identically
-            # everywhere — host only if rank 0 chose it AND every rank
-            # can run it
+            # until the heartbeat timeout): gather rank 0's preference,
+            # every rank's native availability, and any invalid operator
+            # override, resolve identically everywhere — host only if
+            # rank 0 chose it AND every rank can run it; a bad
+            # IBU_POD_SORT_ENGINE raises on EVERY rank (single-process
+            # raises too, below) instead of silently running mesh
             from jax.experimental import multihost_utils
 
             from ibu_tpu import native
 
             lane = np.asarray(
                 [[1 if engine == "host" else 0,
-                  1 if native.available() else 0]], dtype=np.int64
+                  1 if native.available() else 0,
+                  1 if engine not in ("mesh", "host") else 0]],
+                dtype=np.int64,
             )
-            g = multihost_utils.process_allgather(lane).reshape(-1, 2)
+            g = multihost_utils.process_allgather(lane).reshape(-1, 3)
+            if g[:, 2].any():
+                raise ValueError(
+                    f"IBU_POD_SORT_ENGINE must be mesh or host, got "
+                    f"{engine!r} (on this or another rank)"
+                )
             uniform = "host" if (g[0, 0] and g[:, 1].all()) else "mesh"
             if uniform != engine:
                 why += (

@@ -307,16 +307,26 @@ def measure_host_histogram_recs(
 
 
 def auto_device_or_host(
-    path: str, n_records: int, mesh=None, what: str = "histogram",
-    announce: bool = True,
+    mesh=None, what: str = "histogram", announce: bool = True
 ) -> str:
     """Binary device-vs-host decision for streaming tools whose host
     side is the numpy pass (histogram): the device feed probe against
     the MEASURED host-histogram rate — the engine that would actually
-    run on "host" — collapsed to ``{"device", "host"}``."""
+    run on "host" — collapsed to ``{"device", "host"}``. On a CPU
+    backend the "device" is the same host and the feed probe measures
+    memcpy-to-self, so the decision is backend-based there (host — the
+    numpy merge measured ~100× the virtual-mesh histogram on CPU),
+    matching :func:`auto_codec_engine`'s rule."""
     env = os.environ.get("IBU_AUTO_ENGINE")
     if env:
         return "device" if env == "device" else "host"
+    import jax
+
+    if jax.default_backend() == "cpu":
+        if announce:
+            print(f"engine auto ({what}): cpu backend -> host "
+                  "(--engine forces a specific one)", file=sys.stderr)
+        return "host"
     if "device_gbps" not in _MEMO:
         _MEMO["device_gbps"] = measure_device_feed_gbps(mesh=mesh)
     if "host_hist_recs" not in _MEMO:

@@ -766,7 +766,7 @@ def ingest_fastq(
     # chunk. Without the native runtime, fall back to in-memory
     # accumulation + device sort.
     out_of_core = native.available()
-    chunk_records = 32 * 1024 * 1024 // 24  # the external sort's default
+    chunk_records = 32 * 1024 * 1024 // RECORD_SIZE  # external-sort default
     all_records: list = []
     run_paths: list[str] = []
     pend: list = []
@@ -777,8 +777,10 @@ def ingest_fastq(
         merged = np.concatenate(chunk) if len(chunk) > 1 else chunk[0]
         merged = native.sort_records(np.ascontiguousarray(merged))
         rp = f"{ibu_path}.ingest.run{len(run_paths)}"
-        merged.tofile(rp)  # headerless sorted run
+        # track BEFORE writing: a tofile torn by ENOSPC/interrupt must
+        # still be unlinked by the cleanup path
         run_paths.append(rp)
+        merged.tofile(rp)  # headerless sorted run
 
     try:
         from ibu_tpu.io.stream import thread_prefetched
@@ -810,7 +812,10 @@ def ingest_fastq(
         if out_of_core and pend:
             _spill(pend)
             pend = []
-    except Exception:
+    except BaseException:
+        # BaseException: a Ctrl-C mid-ingest must not strand up to the
+        # input's size in .ingest.run* spill files (the merge phase
+        # below already cleans with the same breadth)
         for rp in run_paths:
             try:
                 os.unlink(rp)
@@ -823,10 +828,9 @@ def ingest_fastq(
         # when the output extension asks for it
         sort_dst = ibu_path + ".sorted" if out_compression else ibu_path
         try:
-            out_header = Header.new(bc_len, umi_len)
-            out_header.set_sorted()
+            header.set_sorted()
             with open(sort_dst, "wb") as f:
-                f.write(out_header.as_bytes())
+                f.write(header.as_bytes())
                 f.truncate(HEADER_SIZE + RECORD_SIZE * total)
             native.merge_runs_interval(
                 run_paths, (0, 0, 0), None, sort_dst, HEADER_SIZE,

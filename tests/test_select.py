@@ -127,11 +127,11 @@ class TestMemoAndOverride:
         monkeypatch.setattr(select, "probe_rates", boom)
         monkeypatch.setenv("IBU_AUTO_ENGINE", "host")
         assert select.auto_stats_engine(path, len(recs)) == "host"
-        assert select.auto_device_or_host(path, len(recs)) == "host"
+        assert select.auto_device_or_host() == "host"
         monkeypatch.setenv("IBU_AUTO_ENGINE", "native")
-        assert select.auto_device_or_host(path, len(recs)) == "host"
+        assert select.auto_device_or_host() == "host"
         monkeypatch.setenv("IBU_AUTO_ENGINE", "device")
-        assert select.auto_device_or_host(path, len(recs)) == "device"
+        assert select.auto_device_or_host() == "device"
 
     def test_announce_goes_to_stderr(self, small_file, monkeypatch, capsys):
         path, recs = small_file
@@ -350,7 +350,12 @@ class TestReviewRegressions:
         rate (the engine 'host' actually runs), not the native checksum
         (review r5): a feed faster than np.unique but slower than the
         checksum must pick DEVICE."""
+        import jax
+
         monkeypatch.delenv("IBU_AUTO_ENGINE", raising=False)
+        # the probe path only decides on accelerator backends (the CPU
+        # backend is routed to host outright — memcpy-to-self probe)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
         select.reset_probe_memo()
         # feed 10 GB/s ≈ 416 Mrec/s; checksum-style bar would be ~900
         # and mis-route to host; the histogram bar (~90) picks device
@@ -359,12 +364,16 @@ class TestReviewRegressions:
              "native_recs": 900e6}
         )
         try:
-            assert select.auto_device_or_host("x", 1, announce=False) == (
-                "device"
-            )
+            assert select.auto_device_or_host(announce=False) == "device"
             select._MEMO["device_gbps"] = 0.04  # starved -> host
-            assert select.auto_device_or_host("x", 1, announce=False) == (
-                "host"
-            )
+            assert select.auto_device_or_host(announce=False) == "host"
+        finally:
+            select.reset_probe_memo()
+
+    def test_histogram_auto_cpu_backend_routes_host(self, monkeypatch):
+        monkeypatch.delenv("IBU_AUTO_ENGINE", raising=False)
+        select.reset_probe_memo()
+        try:
+            assert select.auto_device_or_host(announce=False) == "host"
         finally:
             select.reset_probe_memo()

@@ -71,7 +71,6 @@ def data_file(tmp_path_factory):
 @pytest.mark.slow
 def test_cli_distributed_stats(data_file):
     path, n = data_file
-    outs = _run_cohort(["stats", path])
     s = n * (n - 1) // 2
     want = {
         "count": n,
@@ -79,12 +78,34 @@ def test_cli_distributed_stats(data_file):
         "umi_sum": 2 * s,
         "index_sum": s,
     }
-    json_lines = [l for l in outs[0][0].splitlines() if l.startswith("{")]
-    assert len(json_lines) == 1, outs[0][0]
-    assert json.loads(json_lines[0]) == want
-    assert not any(l.startswith("{") for l in outs[1][0].splitlines()), (
-        "rank 1 must print no result"
-    )
+    # Gloo's C++ banners write to stdout UNBUFFERED and can tear a line
+    # mid-character against Python's writes (module docstring): select
+    # the stats JSON by shape — a {...} line that PARSES with the right
+    # keys — instead of assuming '{' prefix lines arrived untorn
+    def stats_lines(out):
+        found = []
+        for l in out.splitlines():
+            brace = l.find("{")
+            if brace < 0:
+                continue
+            try:
+                d = json.loads(l[brace:])
+            except json.JSONDecodeError:
+                continue
+            if isinstance(d, dict) and "barcode_sum" in d:
+                found.append(d)
+        return found
+
+    # a banner injected INSIDE the JSON line corrupts it unrecoverably
+    # (stand-in-only artifact; real pods don't run Gloo): retry the
+    # cohort once before failing
+    for attempt in range(2):
+        outs = _run_cohort(["stats", path])
+        got = stats_lines(outs[0][0])
+        if got:
+            break
+    assert got == [want], outs[0][0]
+    assert not stats_lines(outs[1][0]), "rank 1 must print no result"
 
 
 @pytest.mark.slow
